@@ -1,0 +1,98 @@
+"""Read-only loaders for the reference repo's golden artifacts.
+
+Everything here is consumed only by the parity test-suite and fixture
+builders; the engine itself takes parquet/Iceberg tables as input.
+
+Artifacts (see SURVEY.md §5):
+- ``input_time_series.xlsx``   — 7 year-sheets, half-hourly Consumption/Wind/PV
+- ``betas/*/betas_<signal>.xlsx`` — golden coefficients, one column per scale
+- ``translation/trans_*_12_18.p`` — per-year [transday, transweek, transyear]
+- ``saved_matrix/*/A_YYYY.npz``   — golden CSR dictionaries
+"""
+
+from __future__ import annotations
+
+import io
+import pickle
+
+import numpy as np
+
+from ..kernel.sparse import CSRMatrix, load_npz_csr
+from ..kernel.xlsx import XlsxFile
+
+REFERENCE_ROOT = "/root/reference"
+
+
+class _IntListUnpickler(pickle.Unpickler):
+    """Restricted unpickler: the translation files contain only nested lists
+    of ints — refuse anything that needs a global lookup."""
+
+    def find_class(self, module, name):  # pragma: no cover - defensive
+        raise pickle.UnpicklingError(f"global {module}.{name} is forbidden")
+
+
+def load_translations(shape: str, root: str = REFERENCE_ROOT) -> list[list[int]]:
+    """Per-year ``[transday, transweek, transyear]`` from the reference's
+    pickle (written at /root/reference/calc_translations.py:139)."""
+    path = f"{root}/translation/trans_{shape}_12_18.p"
+    with open(path, "rb") as fh:
+        data = _IntListUnpickler(fh).load()
+    out = []
+    for row in data:
+        vals = [int(v) for v in row]
+        if len(vals) != 3:
+            raise ValueError(f"bad translation row: {row!r}")
+        out.append(vals)
+    return out
+
+
+def load_golden_matrix(shape: str, year: int, root: str = REFERENCE_ROOT) -> CSRMatrix:
+    sub = "square_shape" if shape == "square" else "sine_shape"
+    return load_npz_csr(f"{root}/saved_matrix/{sub}/A_{year}.npz")
+
+
+def load_golden_betas(
+    signal: str, year: int, root: str = REFERENCE_ROOT
+) -> list[np.ndarray]:
+    """Golden coefficient sheet for one (signal, year): a list of 16 arrays,
+    scale_idx order (finest -> coarsest, then offset) — the exported column
+    layout of /root/reference/wavelet_decomposition.py:294-295."""
+    shape_dir = "sine_shape" if signal == "Wind" else "square_shape"
+    wb = XlsxFile(f"{root}/betas/{shape_dir}/betas_{signal}.xlsx")
+    sheet = str(year)
+    out = []
+    for col in range(16):
+        vals = wb.column_floats(sheet, col)
+        if not vals:
+            break
+        out.append(np.asarray(vals, dtype=np.float64))
+    return out
+
+
+def load_input_series(
+    root: str = REFERENCE_ROOT,
+) -> tuple[dict[str, dict[int, np.ndarray]], list[int]]:
+    """Raw half-hourly input series, untrimmed: {signal: {year: values}}.
+
+    Mirrors the read step of /root/reference/import_excel.py:22-39 (skip the
+    title row, header names the columns); trimming/normalizing/resampling are
+    engine operators, applied downstream.
+    """
+    wb = XlsxFile(f"{root}/input_time_series.xlsx")
+    signals = ("Consumption", "Wind", "PV")
+    out: dict[str, dict[int, np.ndarray]] = {s: {} for s in signals}
+    years = [int(s) for s in wb.sheet_names]
+    for sheet in wb.sheet_names:
+        cols = wb.columns(sheet)
+        # row 0 = title, row 1 = header, rows 2+ = values
+        header = {c: v for c, v in ((c, d.get(1)) for c, d in cols.items())}
+        name_to_col = {v: c for c, v in header.items() if isinstance(v, str)}
+        for sig in signals:
+            col = cols[name_to_col[sig]]
+            vals = []
+            r = 2
+            while r in col:
+                vals.append(float(col[r]))
+                r += 1
+            out[sig][int(sheet)] = np.asarray(vals, dtype=np.float64)
+    return out, years

@@ -1,0 +1,144 @@
+"""Haar / Daubechies-4 DWT and MODWT pyramids — pure numpy, vectorized.
+
+The sandbox has no pywt, so the filters are hard-coded from the published
+Daubechies (1988) coefficients and the transforms are validated by
+mathematical identities instead of library parity (see tests):
+
+- orthonormal periodized DWT: perfect reconstruction + Parseval energy
+  preservation per level; Haar matches its closed form
+  ``a_k = (x_{2k}+x_{2k+1})/sqrt(2)``.
+- MODWT (maximal-overlap, Percival & Walden 2000 ch. 5): energy
+  decomposition ``||x||^2 = sum_j ||W_j||^2 + ||V_J||^2`` and circular
+  shift-equivariance.
+
+These kernels run inside ``applyInPandas`` workers over gap-filled,
+dyadic-length activity-series windows (north star: per-scale
+detail/approximation coefficients and energy spectra); one window's pyramid
+is a single sequential numpy computation.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+SQRT2 = np.sqrt(2.0)
+
+# Orthonormal scaling (low-pass) filters. db4 = 4 vanishing moments, 8 taps
+# (Daubechies 1988, standard published values).
+_SCALING = {
+    "haar": np.array([1.0, 1.0]) / SQRT2,
+    "db4": np.array(
+        [
+            0.23037781330885523,
+            0.7148465705525415,
+            0.6308807679295904,
+            -0.02798376941698385,
+            -0.18703481171888114,
+            0.030841381835986965,
+            0.032883011666982945,
+            -0.010597401784997278,
+        ]
+    ),
+}
+
+
+def filters(wavelet: str):
+    """(h, g): scaling and wavelet filters, quadrature-mirror related."""
+    h = _SCALING[wavelet]
+    L = h.size
+    g = ((-1.0) ** np.arange(L)) * h[::-1]
+    return h, g
+
+
+def max_level(n: int, wavelet: str) -> int:
+    h, _ = filters(wavelet)
+    lvl = 0
+    while n % 2 == 0 and n // 2 >= 1 and n >= h.size:
+        lvl += 1
+        n //= 2
+    return lvl
+
+
+def _analysis_step(x: np.ndarray, filt: np.ndarray) -> np.ndarray:
+    """Periodized downsampling convolution: y[k] = sum_m filt[m] x[(2k+m)%N]."""
+    n = x.size
+    k = np.arange(n // 2)
+    idx = (2 * k[:, None] + np.arange(filt.size)[None, :]) % n
+    return x[idx] @ filt
+
+
+def dwt(x: np.ndarray, wavelet: str = "haar", levels: int | None = None):
+    """Periodized orthonormal DWT pyramid.
+
+    Returns ``(details, approx)``: ``details[j]`` is level j+1's detail
+    coefficients (len n/2^(j+1)), ``approx`` the final approximation.
+    Requires ``len(x)`` divisible by ``2**levels``.
+    """
+    x = np.asarray(x, dtype=np.float64)
+    h, g = filters(wavelet)
+    if levels is None:
+        levels = max_level(x.size, wavelet)
+    details = []
+    a = x
+    for _ in range(levels):
+        if a.size % 2:
+            raise ValueError("signal length must be divisible by 2**levels")
+        details.append(_analysis_step(a, g))
+        a = _analysis_step(a, h)
+    return details, a
+
+
+def idwt(details, approx: np.ndarray, wavelet: str = "haar") -> np.ndarray:
+    """Inverse of :func:`dwt` (transpose of the orthonormal analysis)."""
+    h, g = filters(wavelet)
+    a = np.asarray(approx, dtype=np.float64)
+    for d in reversed(details):
+        n = 2 * a.size
+        x = np.zeros(n)
+        k = np.arange(a.size)
+        idx = (2 * k[:, None] + np.arange(h.size)[None, :]) % n
+        np.add.at(x, idx, h[None, :] * a[:, None])
+        np.add.at(x, idx, g[None, :] * np.asarray(d)[:, None])
+        a = x
+    return a
+
+
+def modwt(x: np.ndarray, wavelet: str = "haar", levels: int | None = None):
+    """Maximal-overlap DWT: returns ``(W, V)`` with ``W[j]`` the level-(j+1)
+    wavelet coefficients (each len N) and ``V`` the final scaling
+    coefficients. Circular boundary."""
+    x = np.asarray(x, dtype=np.float64)
+    h, g = filters(wavelet)
+    ht, gt = h / SQRT2, g / SQRT2
+    if levels is None:
+        levels = max(1, int(np.log2(max(x.size // h.size, 2))))
+    n = x.size
+    t = np.arange(n)
+    W = []
+    v = x
+    for j in range(1, levels + 1):
+        step = 2 ** (j - 1)
+        idx = (t[:, None] - step * np.arange(h.size)[None, :]) % n
+        W.append(v[idx] @ gt)
+        v = v[idx] @ ht
+    return W, v
+
+
+def imodwt(W, V: np.ndarray, wavelet: str = "haar") -> np.ndarray:
+    """Inverse MODWT (circular)."""
+    h, g = filters(wavelet)
+    ht, gt = h / SQRT2, g / SQRT2
+    v = np.asarray(V, dtype=np.float64)
+    n = v.size
+    t = np.arange(n)
+    for j in range(len(W), 0, -1):
+        step = 2 ** (j - 1)
+        idx = (t[:, None] + step * np.arange(h.size)[None, :]) % n
+        v = v[idx] @ ht + np.asarray(W[j - 1])[idx] @ gt
+    return v
+
+
+def energy_spectrum(details, approx) -> np.ndarray:
+    """Per-scale energy: [E(d1), ..., E(dJ), E(approx)]."""
+    return np.array([float(np.square(d).sum()) for d in details] +
+                    [float(np.square(approx).sum())])

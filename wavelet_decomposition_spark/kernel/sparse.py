@@ -1,0 +1,98 @@
+"""Minimal CSR sparse matrix with the two operations the engine needs:
+``A @ x`` and ``A.T @ y`` (both fully vectorized numpy).
+
+The sandbox has no scipy, and the engine only ever needs matvecs (the
+reference also only uses the CSR for iterative solves — it never factorizes;
+see /root/reference/wavelet_decomposition.py:195-199). A ~3 MB CSR is
+broadcast to executors and used inside applyInPandas workers.
+
+Also provides a loader for scipy-format ``.npz`` CSR files (plain numpy
+arrays zipped with keys data/indices/indptr/shape/format), used only by the
+golden-parity test suite to read the reference's saved matrices.
+"""
+
+from __future__ import annotations
+
+import io
+import zipfile
+
+import numpy as np
+
+
+class CSRMatrix:
+    """Compressed-sparse-row float64 matrix supporting matvec / rmatvec."""
+
+    __slots__ = ("data", "indices", "indptr", "shape", "_row_lens", "_row_ids")
+
+    def __init__(self, data, indices, indptr, shape):
+        self.data = np.asarray(data, dtype=np.float64)
+        self.indices = np.asarray(indices, dtype=np.int64)
+        self.indptr = np.asarray(indptr, dtype=np.int64)
+        self.shape = (int(shape[0]), int(shape[1]))
+        self._row_lens = np.diff(self.indptr)
+        # row id of every nonzero — precomputed once, reused by rmatvec
+        self._row_ids = np.repeat(
+            np.arange(self.shape[0], dtype=np.int64), self._row_lens
+        )
+
+    @property
+    def nnz(self) -> int:
+        return int(self.data.size)
+
+    def matvec(self, x: np.ndarray) -> np.ndarray:
+        """y = A @ x  (len m)."""
+        prod = self.data * x[self.indices]
+        out = np.zeros(self.shape[0], dtype=np.float64)
+        np.add.at(out, self._row_ids, prod)
+        return out
+
+    def rmatvec(self, y: np.ndarray) -> np.ndarray:
+        """x = A.T @ y  (len n)."""
+        prod = self.data * y[self._row_ids]
+        return np.bincount(
+            self.indices, weights=prod, minlength=self.shape[1]
+        ).astype(np.float64)
+
+    def __matmul__(self, x):
+        return self.matvec(np.asarray(x, dtype=np.float64))
+
+    # --- construction helpers -------------------------------------------------
+
+    @classmethod
+    def from_coo(cls, rows, cols, vals, shape) -> "CSRMatrix":
+        """Build canonical CSR (row-major, sorted column indices) from triplets."""
+        rows = np.asarray(rows, dtype=np.int64)
+        cols = np.asarray(cols, dtype=np.int64)
+        vals = np.asarray(vals, dtype=np.float64)
+        order = np.lexsort((cols, rows))
+        rows, cols, vals = rows[order], cols[order], vals[order]
+        indptr = np.zeros(shape[0] + 1, dtype=np.int64)
+        np.add.at(indptr, rows + 1, 1)
+        np.cumsum(indptr, out=indptr)
+        return cls(vals, cols, indptr, shape)
+
+    def to_coo(self):
+        return self._row_ids.copy(), self.indices.copy(), self.data.copy()
+
+
+def load_npz_csr(path: str) -> CSRMatrix:
+    """Load a scipy ``save_npz`` CSR file with raw numpy (no scipy needed).
+
+    scipy stores plain ``.npy`` members named data/indices/indptr/shape (and a
+    ``format`` marker) inside a zip. Used to read the reference's golden
+    matrices at /root/reference/saved_matrix/*/A_*.npz for parity tests only.
+    """
+    with zipfile.ZipFile(path) as zf:
+        members = {}
+        for name in zf.namelist():
+            key = name[:-4] if name.endswith(".npy") else name
+            with zf.open(name) as fh:
+                members[key] = np.load(io.BytesIO(fh.read()), allow_pickle=False)
+    fmt = members.get("format")
+    if fmt is not None:
+        fmt_str = bytes(fmt.tobytes()).decode("latin1").strip("\x00")
+        if "csr" not in fmt_str:
+            raise ValueError(f"unsupported sparse format: {fmt_str!r}")
+    return CSRMatrix(
+        members["data"], members["indices"], members["indptr"], members["shape"]
+    )
