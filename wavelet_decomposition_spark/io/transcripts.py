@@ -1,0 +1,168 @@
+"""Deterministic synthetic transcript table — the engine's primary input
+shape (BASELINE.json input_hint):
+
+    (conv_id string, turn_idx int, role string, text string,
+     tool string, ts timestamp)
+
+Design points (FIXTURES.md §1):
+- *Distributed generation*: the generator is a ``mapInPandas`` over
+  ``spark.range(n_convs)`` — each conversation's rows derive from
+  splitmix-style integer hashing of (seed, conv, turn), so output is
+  deterministic and independent of partitioning / cluster size. This is the
+  scale path: at 10^12 turns nothing ever materializes on the driver.
+- *Skew by design*: conversation lengths are heavy-tailed (power-law), so a
+  few conversations are very long — exercising salting / AQE.
+- *Bursty, out-of-order-across-conversations timestamps*: in-order within a
+  conversation (turn_idx is the stable ordering key), interleaved across.
+- *Content-addressable text*: bytes derive from hash(conv, turn), so the
+  per-turn text-equality invariant is meaningful.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+
+TRANSCRIPT_SCHEMA = (
+    "conv_id string, turn_idx int, role string, text string, "
+    "tool string, ts timestamp"
+)
+
+_TOOLS = np.array(["search", "bash", "read_file", "write_file", "browser"])
+_EPOCH_BASE = 1_700_000_000  # fixed epoch seconds origin (no wall clock)
+
+_M1 = np.uint64(0xBF58476D1CE4E5B9)
+_M2 = np.uint64(0x94D049BB133111EB)
+_GOLDEN = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _splitmix(x: np.ndarray) -> np.ndarray:
+    x = (x + _GOLDEN).astype(np.uint64)
+    x ^= x >> np.uint64(30)
+    x *= _M1
+    x ^= x >> np.uint64(27)
+    x *= _M2
+    x ^= x >> np.uint64(31)
+    return x
+
+
+def _hash2(a: np.ndarray, b: np.ndarray, seed: int) -> np.ndarray:
+    return _splitmix(
+        a.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+        ^ b.astype(np.uint64) * _M1
+        ^ np.uint64(seed)
+    )
+
+
+def _unit(h: np.ndarray) -> np.ndarray:
+    """uint64 hash -> uniform float64 in [0, 1)."""
+    return (h >> np.uint64(11)).astype(np.float64) / float(1 << 53)
+
+
+def conv_lengths(conv: np.ndarray, seed: int, mean_turns: int, max_turns: int) -> np.ndarray:
+    """Heavy-tailed (bounded Pareto-ish) turn counts per conversation."""
+    u = _unit(_hash2(conv, np.full(conv.size, 0xFFFF, dtype=np.uint64), seed))
+    alpha = 1.3
+    base = max(2.0, mean_turns / 3.2)
+    length = base * np.power(1.0 - u, -1.0 / alpha)
+    return np.clip(length, 2, max_turns).astype(np.int64)
+
+
+def _gen_batch(conv: np.ndarray, seed: int, mean_turns: int, max_turns: int,
+               span_seconds: int) -> pd.DataFrame:
+    lens = conv_lengths(conv, seed, mean_turns, max_turns)
+    total = int(lens.sum())
+    cid = np.repeat(conv, lens)
+    starts = np.zeros(conv.size, dtype=np.int64)
+    starts[1:] = np.cumsum(lens)[:-1]
+    tidx = (np.arange(total, dtype=np.int64) - np.repeat(starts, lens)).astype(np.int64)
+
+    h = _hash2(cid, tidx, seed)
+    u_gap = _unit(h)
+    u_role = _unit(_splitmix(h))
+    u_len = _unit(_splitmix(h + np.uint64(1)))
+
+    # bursty inter-turn gaps (micros): 70% 0.5-5 s, 25% 5-60 s, 5% 1-60 min
+    gap = np.where(
+        u_gap < 0.70,
+        0.5e6 + u_gap / 0.70 * 4.5e6,
+        np.where(
+            u_gap < 0.95,
+            5e6 + (u_gap - 0.70) / 0.25 * 55e6,
+            60e6 + (u_gap - 0.95) / 0.05 * 3540e6,
+        ),
+    ).astype(np.int64)
+    gap[tidx == 0] = 0
+    # segmented cumsum: running timestamp within each conversation
+    g = np.cumsum(gap)
+    seg_base = np.repeat(g[starts] - gap[starts], lens)
+    offset = g - seg_base
+    conv_start = (
+        _EPOCH_BASE * 1_000_000
+        + (_unit(_hash2(conv, np.full(conv.size, 0xAAAA, dtype=np.uint64), seed))
+           * span_seconds * 1e6).astype(np.int64)
+    )
+    ts_us = np.repeat(conv_start, lens) + offset
+
+    role = np.where(tidx % 2 == 0, "user", "assistant")
+    is_tool = (role == "assistant") & (u_role < 0.25)
+    tool = np.where(
+        is_tool, _TOOLS[(h % np.uint64(_TOOLS.size)).astype(np.int64)], None
+    )
+
+    # content-addressable text, log-normal-ish length in [8, ~2k] chars
+    n_chars = (8 + 2000.0 * u_len * u_len * u_len).astype(np.int64)
+    token = np.char.mod("%016x", h.astype(object))  # 16-char deterministic token
+    reps = (n_chars // 17 + 1).astype(np.int64)
+    text = np.char.multiply(np.char.add(token.astype(str), " "), reps)
+    text = np.array([t[:n] for t, n in zip(text, n_chars)], dtype=object)
+
+    return pd.DataFrame(
+        {
+            "conv_id": np.char.mod("conv-%08d", cid.astype(object)).astype(str),
+            "turn_idx": tidx.astype(np.int32),
+            "role": role,
+            "text": text,
+            "tool": tool,
+            "ts": pd.to_datetime(ts_us, unit="us"),
+        }
+    )
+
+
+def transcripts_df(
+    spark: SparkSession,
+    n_convs: int,
+    seed: int = 42,
+    mean_turns: int = 40,
+    max_turns: int = 20_000,
+    span_seconds: int = 7 * 86400,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Distributed deterministic transcript generator."""
+    if partitions is None:
+        partitions = max(8, spark.sparkContext.defaultParallelism)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            conv = pdf["id"].to_numpy(dtype=np.int64)
+            if conv.size:
+                yield _gen_batch(conv, seed, mean_turns, max_turns, span_seconds)
+
+    return (
+        spark.range(0, n_convs, numPartitions=partitions)
+        .mapInPandas(gen, schema=TRANSCRIPT_SCHEMA)
+    )
+
+
+def transcripts_pandas(n_convs: int, seed: int = 42, **kw) -> pd.DataFrame:
+    """Driver-side variant for tiny fixtures / oracle comparisons."""
+    return _gen_batch(
+        np.arange(n_convs, dtype=np.int64),
+        seed,
+        kw.get("mean_turns", 40),
+        kw.get("max_turns", 20_000),
+        kw.get("span_seconds", 7 * 86400),
+    )

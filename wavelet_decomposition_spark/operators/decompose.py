@@ -1,0 +1,144 @@
+"""A1/A4 — the flagship operator: per-(series, year) damped-LSQR wavelet
+decomposition against a broadcast sparse dictionary, emitting a long-format
+coefficient table.
+
+Reference: the year loop at /root/reference/wavelet_decomposition.py:232-250
+(one ``lsqr(A_year, signal_slice)`` per year) and the sheet reshape at
+:260-298. Here every (series_id, year) group is one Spark task: the
+dictionaries (~4.5 MB CSR per year) and the flat->(scale,pos) mapping are
+broadcast once; the solve runs as sequential numpy inside an Arrow pandas
+UDF (deterministic — a solve is never split across partitions), and the
+reshape is a vectorized gather, so the group's 23,360 input rows map to
+23,423 coefficient rows with no per-row Python.
+
+Scale note: groups are fixed-size (points_per_year rows) so groupBy skew is
+bounded by design; parallelism = #series x #years, embarrassingly parallel
+on a large cluster. The only wide dependency is the single exchange on
+(series_id, year).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+
+from ..kernel import wavelets as wl
+from ..kernel.lsqr import beta_decomposition
+from ..kernel.sparse import CSRMatrix
+
+BETA_SCHEMA = (
+    "series_id string, year int, scale_idx int, pos int, beta double"
+)
+
+
+def broadcast_dictionaries(
+    spark: SparkSession,
+    shape: str,
+    translations_by_year: dict[int, list[int]],
+    vy: int = wl.VY,
+    vw: int = wl.VW,
+    vd: int = wl.VD,
+    dpy: int = wl.DPY,
+    dpd: int = wl.NDPD,
+):
+    """Generate one CSR dictionary per year on the driver (<1 s/year,
+    CSR-direct — the reference's dense path needs 4.38 GB) and broadcast the
+    raw arrays plus the scale map. Returns the broadcast handle."""
+    payload = {}
+    for year, trans in translations_by_year.items():
+        A = wl.generate_dictionary(shape, trans, vy, vw, vd, dpy, dpd)
+        payload[int(year)] = (A.data, A.indices, A.indptr, A.shape)
+    scale_idx, pos = wl.flat_to_scale_pos(vy, vw, vd, dpy)
+    return spark.sparkContext.broadcast(
+        {"matrices": payload, "scale_idx": scale_idx, "pos": pos}
+    )
+
+
+def decompose(
+    df: DataFrame,
+    bc,
+    damp: float = 0.001,
+) -> DataFrame:
+    """(series_id, year, idx, value) -> (series_id, year, scale_idx, pos, beta).
+
+    ``bc`` is the broadcast from :func:`broadcast_dictionaries`.
+    """
+
+    def _solve(pdf: pd.DataFrame) -> pd.DataFrame:
+        state = bc.value
+        year = int(pdf["year"].iloc[0])
+        data, indices, indptr, shape = state["matrices"][year]
+        A = CSRMatrix(data, indices, indptr, shape)
+        pdf = pdf.sort_values("idx")
+        signal = pdf["value"].to_numpy(dtype=np.float64)
+        if signal.size != A.shape[0]:
+            raise ValueError(
+                f"group ({pdf['series_id'].iloc[0]}, {year}) has "
+                f"{signal.size} points, dictionary expects {A.shape[0]}"
+            )
+        beta = beta_decomposition(A, signal, damp=damp)
+        return pd.DataFrame(
+            {
+                "series_id": pdf["series_id"].iloc[0],
+                "year": year,
+                "scale_idx": state["scale_idx"],
+                "pos": state["pos"],
+                "beta": beta,
+            }
+        )
+
+    return df.groupBy("series_id", "year").applyInPandas(
+        _solve, schema=BETA_SCHEMA
+    )
+
+
+def reconstruct(
+    betas: DataFrame,
+    bc,
+    keep_scales=None,
+    add_offset: bool = True,
+) -> DataFrame:
+    """A8 — inverse transform: signal[t] = (A @ beta_natural)[t], optionally
+    band-passed to ``keep_scales`` and with the offset dropped
+    (wavelet_decomposition.py:385-434). Per-group vectorized matvec against
+    the broadcast CSR. Returns (series_id, year, idx, value)."""
+    scales = set(int(s) for s in keep_scales) if keep_scales is not None else None
+
+    def _recon(pdf: pd.DataFrame) -> pd.DataFrame:
+        state = bc.value
+        year = int(pdf["year"].iloc[0])
+        data, indices, indptr, shape = state["matrices"][year]
+        A = CSRMatrix(data, indices, indptr, shape)
+        flat = np.zeros(shape[1], dtype=np.float64)
+        scale_idx = pdf["scale_idx"].to_numpy()
+        keep = np.ones(len(pdf), dtype=bool)
+        if scales is not None:
+            keep &= np.isin(scale_idx, list(scales))
+        if not add_offset:
+            keep &= scale_idx != 15
+        # invert the sheet mapping: position in natural flat order
+        sel = pdf[keep]
+        lut_scale = state["scale_idx"]
+        lut_pos = state["pos"]
+        # build (scale_idx, pos) -> flat index lookup once per group
+        key_lut = lut_scale.astype(np.int64) * 100000 + lut_pos
+        order = np.argsort(key_lut)
+        want = sel["scale_idx"].to_numpy().astype(np.int64) * 100000 + sel[
+            "pos"
+        ].to_numpy()
+        flat_idx = order[np.searchsorted(key_lut[order], want)]
+        flat[flat_idx] = sel["beta"].to_numpy(dtype=np.float64)
+        signal = A.matvec(flat)
+        return pd.DataFrame(
+            {
+                "series_id": pdf["series_id"].iloc[0],
+                "year": year,
+                "idx": np.arange(signal.size, dtype=np.int32),
+                "value": signal,
+            }
+        )
+
+    return betas.groupBy("series_id", "year").applyInPandas(
+        _recon, schema="series_id string, year int, idx int, value double"
+    )

@@ -1,0 +1,74 @@
+"""SparkSession construction with the engine's scale-oriented defaults.
+
+The sandbox runs ``local[N]`` single-JVM; the configs below are chosen to be
+the right ones on a real multi-executor cluster too (AQE with skew-join
+splitting, Arrow-batched Python exchange, partition coalescing), so the same
+plan shapes carry from local tests to a 1000-executor deployment.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import zipfile
+
+from pyspark.sql import SparkSession
+
+
+def package_zip() -> str:
+    """Zip this package for shipping to executors (the local-mode analogue of
+    ``spark-submit --py-files``; required whenever the driver script does not
+    run from the repo root). Deterministic content, cached per process."""
+    pkg_dir = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = os.path.join(
+        tempfile.gettempdir(), "wavelet_decomposition_spark_pyfiles.zip"
+    )
+    with zipfile.ZipFile(out, "w", zipfile.ZIP_STORED) as zf:
+        for root, _dirs, files in os.walk(pkg_dir):
+            if "__pycache__" in root:
+                continue
+            for f in sorted(files):
+                if f.endswith(".py"):
+                    full = os.path.join(root, f)
+                    rel = os.path.relpath(full, os.path.dirname(pkg_dir))
+                    zf.write(full, rel)
+    return out
+
+
+def build_session(
+    app_name: str = "wavelet_decomposition_spark",
+    cores: int | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict | None = None,
+) -> SparkSession:
+    if cores is None:
+        cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    if shuffle_partitions is None:
+        # ~2x parallelism; AQE coalesces down when partitions are small
+        shuffle_partitions = max(2 * cores, 8)
+
+    builder = (
+        SparkSession.builder.master(f"local[{cores}]")
+        .appName(app_name)
+        # --- adaptive execution: runtime re-planning, skew-join splitting ---
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # --- shuffle sizing ---
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # --- Arrow exchange for pandas UDFs (the engine's only Python) ---
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
+        # solve groups are 23,360 rows; activity windows are bounded — large
+        # batches keep the JVM<->Python round trips few
+        .config("spark.sql.files.maxPartitionBytes", "134217728")
+        .config("spark.driver.memory", os.environ.get("WDS_DRIVER_MEM", "8g"))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    # ship the engine to executor Python workers (--py-files analogue)
+    spark.sparkContext.addPyFile(package_zip())
+    return spark
