@@ -1,10 +1,15 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship rollup + wavelet pipeline (the north-star path)
+on a deterministic synthetic transcript table.
+``queries()`` — one entry per implemented operator family from SURVEY.md §2
+plus the training-data operators; each callable takes (spark, sf_dir).
+``oracle_sql()`` — DuckDB-equivalent SQL for every SQL-expressible query
+(identical column names/order; float outputs rounded to 6 decimals on both
+sides so engine-order float reassociation cannot flip the value hash).
+Non-SQL-expressible ops (wavelet pyramids, codecs, LSH structures) have no
+oracle entry -> rows-only driver check; their correctness is carried by the
+golden-parity and property test-suite (tests/).
 """
 
 from __future__ import annotations
@@ -12,27 +17,690 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
+_TOKEN_REGEX = r"[a-zA-Z0-9]+|[^a-zA-Z0-9\s]"
+
+
+def _prep(spark: SparkSession) -> None:
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    try:
+        from wavelet_decomposition_spark.plans.session import package_zip
+
+        spark.sparkContext.addPyFile(package_zip())
+    except Exception:
+        pass  # already added, or running from the repo root anyway
+
+
+def _events(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+def _docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _norm_text(c):
+    return F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))
+
+
+# ---------------------------------------------------------------------------
+# flagship
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Rollup + wavelet flagship: synthetic transcripts -> 1s activity tier
+    -> 1m rollup -> gap-fill -> Haar DWT energy spectrum per conversation."""
+    _prep(spark)
+    from wavelet_decomposition_spark.io.transcripts import transcripts_df
+    from wavelet_decomposition_spark.operators import (
+        activity,
+        gapfill,
+        rollup,
+        wavelet_ops,
+    )
+
+    tx = transcripts_df(spark, 300, seed=42)
+    raw = activity.activity_raw(tx)
+    tier_1m = rollup.rollup_once(raw, "1m")
+    filled = gapfill.gapfill_zero(
+        tier_1m, activity.ACTIVITY_COUNT_COLS, step="1 minute"
+    )
+    coefs = wavelet_ops.dwt_windows(
+        filled, "turns", wavelet="haar", levels=4, window_len=64
+    )
+    return wavelet_ops.energy_spectrum(coefs)
+
+
+# ---------------------------------------------------------------------------
+# oracle-checked queries
+# ---------------------------------------------------------------------------
+
+def _q_activity_1m(spark, sf_dir):
+    _prep(spark)
+    return (
+        _events(spark, sf_dir)
+        .groupBy(
+            "event_type",
+            F.date_trunc("minute", F.col("ts")).alias("bucket_ts"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("turns"),
+            F.round(F.sum("value"), 6).alias("total_value"),
+        )
+    )
+
+
+def _q_rollup_1h(spark, sf_dir):
+    """1m -> 1h cascade (continuous-aggregate composition; oracle aggregates
+    straight from raw — equality IS the rollup-correctness statement)."""
+    _prep(spark)
+    one_m = (
+        _events(spark, sf_dir)
+        .groupBy(
+            "event_type", F.date_trunc("minute", F.col("ts")).alias("bucket_ts")
+        )
+        .agg(F.count(F.lit(1)).alias("turns"), F.sum("value").alias("sum_value"))
+    )
+    return (
+        one_m.groupBy(
+            "event_type", F.date_trunc("hour", F.col("bucket_ts")).alias("bucket_ts")
+        )
+        .agg(
+            F.sum("turns").alias("turns"),
+            F.round(F.sum("sum_value"), 6).alias("total_value"),
+        )
+    )
+
+
+def _q_normalize_by_group(spark, sf_dir):
+    """P2 — per-group mean normalization."""
+    _prep(spark)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("event_type")
+    return _events(spark, sf_dir).select(
+        "event_id",
+        F.round(F.col("value") / F.avg("value").over(w), 6).alias("norm_value"),
+    )
+
+
+def _q_per_group_limit(spark, sf_dir):
+    """P1 — per-group positional limit (leap-trim pattern)."""
+    _prep(spark)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    return (
+        _events(spark, sf_dir)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 10)
+        .select("event_type", "event_id", "rn")
+    )
+
+
+def _q_circular_shift(spark, sf_dir):
+    """P5 — circular index translation within each group."""
+    _prep(spark)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    cnt = Window.partitionBy("event_type")
+    return _events(spark, sf_dir).select(
+        "event_type",
+        "event_id",
+        F.pmod(
+            F.row_number().over(w) - 1 + F.lit(7), F.count(F.lit(1)).over(cnt)
+        ).alias("shifted_idx"),
+    )
+
+
+def _q_series_diff(spark, sf_dir):
+    """P6/J1 — aligned series subtraction via equi-join (click minus view
+    counts per minute)."""
+    _prep(spark)
+    ev = _events(spark, sf_dir)
+    minute = F.date_trunc("minute", F.col("ts")).alias("bucket_ts")
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy(minute).agg(F.count(F.lit(1)).alias("n_click"))
+    )
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy(minute).agg(F.count(F.lit(1)).alias("n_view"))
+    )
+    return clicks.join(views, "bucket_ts").select(
+        "bucket_ts", (F.col("n_click") - F.col("n_view")).alias("diff")
+    )
+
+
+def _q_mask_case(spark, sf_dir):
+    """P7 — CASE masking before aggregation."""
+    _prep(spark)
+    return (
+        _events(spark, sf_dir)
+        .select(
+            "event_type",
+            F.when(
+                F.col("event_type").isin("click", "view"), F.col("value")
+            ).otherwise(F.lit(0.0)).alias("masked"),
+        )
+        .groupBy("event_type")
+        .agg(F.round(F.sum("masked"), 6).alias("masked_sum"))
+    )
+
+
+def _q_epn_thresholds(spark, sf_dir):
+    """A6 — EPN analytics via the engine operator, fed lineitem prices as
+    coefficients (scale_idx = l_linenumber - 1)."""
+    _prep(spark)
+    from wavelet_decomposition_spark.operators.epn import epn
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    betas = li.select(
+        F.lit("li").alias("series_id"),
+        (F.col("l_linenumber") - 1).cast("int").alias("scale_idx"),
+        F.col("l_extendedprice").alias("beta"),
+    )
+    out = epn(spark, betas, [90.0], n_years=1)
+    return out.select(
+        "scale_idx",
+        "satisfaction",
+        F.round("pmax", 6).alias("pmax"),
+        F.round("emax", 6).alias("emax"),
+        F.round("n", 6).alias("n_cycles"),
+        F.round("uf", 6).alias("uf"),
+        # serv = emax * n is O(1e9): decimal rounding cannot mask float
+        # reassociation there; covered by the numpy-oracle pytest instead
+    )
+
+
+def _q_topk_argmin(spark, sf_dir):
+    """A11 pattern — per-group argmax bucket (orderBy + limit shape)."""
+    _prep(spark)
+    from pyspark.sql import Window
+
+    per_min = (
+        _events(spark, sf_dir)
+        .groupBy(
+            "event_type", F.date_trunc("minute", F.col("ts")).alias("bucket_ts")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("event_type").orderBy(F.desc("n"), F.asc("bucket_ts"))
+    return (
+        per_min.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("event_type", "bucket_ts", "n")
+    )
+
+
+def _q_pricing_summary(spark, sf_dir):
+    """Pushdown + partial-agg showcase (TPC-H Q1 shape on lineitem)."""
+    _prep(spark)
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2024-06-01").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 6).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 6).alias("sum_base_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def _q_nation_revenue(spark, sf_dir):
+    """J2 — broadcast dimension joins (orders -> customer -> nation)."""
+    _prep(spark)
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    return (
+        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum("o_totalprice"), 6).alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+def _q_dedup_groups(spark, sf_dir):
+    """Exact dedup groups over normalized-text fingerprints."""
+    _prep(spark)
+    return (
+        _docs(spark, sf_dir)
+        .select("doc_id", F.md5(_norm_text(F.col("text"))).alias("fp"))
+        .groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("n_dups"), F.min("doc_id").alias("keeper_id"))
+    )
+
+
+def _q_ngram_jaccard(spark, sf_dir):
+    """Exact word-3-gram Jaccard pairs >= 0.1."""
+    _prep(spark)
+    from wavelet_decomposition_spark.operators.dedup import ngram_jaccard_pairs
+
+    pairs = ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.1)
+    return pairs.select(
+        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
+def _q_doc_stats(spark, sf_dir):
+    """Token counting + fingerprinting (text-analysis column ops)."""
+    _prep(spark)
+    docs = _docs(spark, sf_dir)
+    return docs.select(
+        "doc_id",
+        F.length("text").alias("n_chars"),
+        F.size(F.split(_norm_text(F.col("text")), " ")).alias("n_words"),
+        F.regexp_count(F.col("text"), F.lit(_TOKEN_REGEX)).alias("n_tokens"),
+        F.md5(_norm_text(F.col("text"))).alias("fingerprint"),
+    )
+
+
+def _q_lang_marker_hits(spark, sf_dir):
+    """Language-ID marker counts (the lang_id heuristic's inputs)."""
+    _prep(spark)
+    docs = _docs(spark, sf_dir)
+    padded = F.concat(F.lit(" "), _norm_text(F.col("text")), F.lit(" "))
+    def hits(words):
+        e = F.lit(0)
+        for w in words:
+            e = e + F.regexp_count(padded, F.lit(rf" {w} "))
+        return e
+    return docs.select(
+        "doc_id",
+        hits(["the", "and", "of", "to", "is"]).alias("en_hits"),
+        hits(["le", "la", "et", "les", "est"]).alias("fr_hits"),
+        hits(["der", "die", "und", "das", "ist"]).alias("de_hits"),
+        hits(["el", "la", "de", "que", "es"]).alias("es_hits"),
+    )
+
+
+def _q_ann_topk(spark, sf_dir):
+    """Brute-force cosine top-5 for 3 query vectors (ANN baseline)."""
+    _prep(spark)
+    from wavelet_decomposition_spark.operators.similarity import brute_force_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = brute_force_topk(emb, queries, k=5)
+    return out.select(
+        "query_id", "vec_id", F.round("score", 6).alias("score"), "rank"
+    )
+
+
+def _q_cosine_pairs(spark, sf_dir):
+    """Exact embedding near-dup pairs (cosine >= 0.5) — the verification
+    oracle for the LSH-bucketed variant."""
+    _prep(spark)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    v = F.col("embedding").cast("array<double>")
+    a = emb.select(F.col("vec_id").alias("id_a"), v.alias("va"))
+    b = emb.select(F.col("vec_id").alias("id_b"), v.alias("vb"))
+    dot = F.aggregate(
+        F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    na = F.sqrt(F.aggregate("va", F.lit(0.0), lambda acc, x: acc + x * x))
+    nb = F.sqrt(F.aggregate("vb", F.lit(0.0), lambda acc, x: acc + x * x))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", (dot / (na * nb)).alias("cos"))
+        .filter(F.col("cos") >= 0.5)
+        .select("id_a", "id_b", F.round("cos", 6).alias("cosine"))
+    )
+
+
+def _q_gapfill_locf(spark, sf_dir):
+    """Gap-fill to a 1-minute grid with last-observation-carried-forward."""
+    _prep(spark)
+    from wavelet_decomposition_spark.operators.gapfill import gapfill_locf
+
+    per_min = (
+        _events(spark, sf_dir)
+        .groupBy(
+            "event_type", F.date_trunc("minute", F.col("ts")).alias("bucket_ts")
+        )
+        .agg(F.avg("value").alias("avg_value"))
+    )
+    filled = gapfill_locf(
+        per_min, ["avg_value"], step="1 minute", group_col="event_type"
+    )
+    return filled.select(
+        "event_type", "bucket_ts", F.round("avg_value", 6).alias("avg_value")
+    )
+
+
+# ---------------------------------------------------------------------------
+# rows-only (non-SQL-expressible) queries
+# ---------------------------------------------------------------------------
+
+def _q_transcript_rollup_1m(spark, sf_dir):
+    _prep(spark)
+    from wavelet_decomposition_spark.io.transcripts import transcripts_df
+    from wavelet_decomposition_spark.operators import activity, rollup
+
+    tx = transcripts_df(spark, 200, seed=42)
+    return rollup.rollup_once(activity.activity_raw(tx), "1m")
+
+
+def _q_dwt_energy(spark, sf_dir):
+    _prep(spark)
+    from wavelet_decomposition_spark.io.transcripts import transcripts_df
+    from wavelet_decomposition_spark.operators import (
+        activity,
+        gapfill,
+        rollup,
+        wavelet_ops,
+    )
+
+    tx = transcripts_df(spark, 100, seed=42)
+    tier = rollup.rollup_once(activity.activity_raw(tx), "1m")
+    filled = gapfill.gapfill_zero(
+        tier, activity.ACTIVITY_COUNT_COLS, step="1 minute"
+    )
+    coefs = wavelet_ops.dwt_windows(filled, "turns", "db4", levels=4, window_len=64)
+    return wavelet_ops.energy_spectrum(coefs)
+
+
+def _q_gorilla_blocks(spark, sf_dir):
+    _prep(spark)
+    from wavelet_decomposition_spark.io.transcripts import transcripts_df
+    from wavelet_decomposition_spark.operators import activity, compress, rollup
+
+    tx = transcripts_df(spark, 150, seed=42)
+    tier = rollup.rollup_once(activity.activity_raw(tx), "1m")
+    blocks = compress.encode_blocks(tier, activity.ACTIVITY_COUNT_COLS)
+    return compress.compression_report(blocks, activity.ACTIVITY_COUNT_COLS)
+
+
+def _q_minhash_pairs(spark, sf_dir):
+    _prep(spark)
+    from wavelet_decomposition_spark.operators import dedup
+
+    sigs = dedup.minhash_signatures(_docs(spark, sf_dir))
+    pairs = dedup.minhash_lsh_pairs(sigs)
+    return dedup.minhash_jaccard_estimate(sigs, pairs).filter(
+        F.col("jaccard_est") >= 0.5
+    )
+
+
+def _q_simhash_near(spark, sf_dir):
+    _prep(spark)
+    from wavelet_decomposition_spark.operators import dedup
+
+    sh = dedup.simhash(_docs(spark, sf_dir))
+    return dedup.simhash_near_pairs(sh, max_hamming=8)
+
+
+def _q_wavelet_betas_golden(spark, sf_dir):
+    """Reference flagship: one (signal, year) LSQR decomposition; golden
+    parity asserted in tests/, here exercised end-to-end for the driver."""
+    _prep(spark)
+    from wavelet_decomposition_spark.io import reference_data as rd
+    from wavelet_decomposition_spark.io.electricity import electricity_df
+    from wavelet_decomposition_spark.operators import decompose as dec
+    from wavelet_decomposition_spark.operators import series as ser
+    from wavelet_decomposition_spark.operators.resample import resample_per_year
+
+    df = electricity_df(spark, signals=["Consumption"], years=[2013])
+    df = ser.leap_trim(df, 48 * 365)
+    df = ser.normalize_yearly_mean(df)
+    df = resample_per_year(df, 48, 64, 365)
+    trans = rd.load_translations("square")
+    bc = dec.broadcast_dictionaries(spark, "square", {2013: trans[1]})
+    return dec.decompose(df, bc)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "activity_1m": _q_activity_1m,
+        "rollup_1h": _q_rollup_1h,
+        "normalize_by_group": _q_normalize_by_group,
+        "per_group_limit": _q_per_group_limit,
+        "circular_shift": _q_circular_shift,
+        "series_diff": _q_series_diff,
+        "mask_case": _q_mask_case,
+        "epn_thresholds": _q_epn_thresholds,
+        "topk_argmin": _q_topk_argmin,
+        "pricing_summary": _q_pricing_summary,
+        "nation_revenue": _q_nation_revenue,
+        "dedup_groups": _q_dedup_groups,
+        "ngram_jaccard": _q_ngram_jaccard,
+        "doc_stats": _q_doc_stats,
+        "lang_marker_hits": _q_lang_marker_hits,
+        "ann_topk": _q_ann_topk,
+        "cosine_pairs": _q_cosine_pairs,
+        "gapfill_locf": _q_gapfill_locf,
+        # rows-only (no SQL oracle):
+        "transcript_rollup_1m": _q_transcript_rollup_1m,
+        "dwt_energy": _q_dwt_energy,
+        "gorilla_blocks": _q_gorilla_blocks,
+        "minhash_pairs": _q_minhash_pairs,
+        "simhash_near": _q_simhash_near,
+        "wavelet_betas_golden": _q_wavelet_betas_golden,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    norm = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+    return {
+        "activity_1m": """
+            SELECT event_type,
+                   date_trunc('minute', ts) AS bucket_ts,
+                   count(*) AS turns,
+                   round(sum(value), 6) AS total_value
+            FROM events GROUP BY 1, 2
+        """,
+        "rollup_1h": """
+            SELECT event_type,
+                   date_trunc('hour', ts) AS bucket_ts,
+                   count(*) AS turns,
+                   round(sum(value), 6) AS total_value
+            FROM events GROUP BY 1, 2
+        """,
+        "normalize_by_group": """
+            SELECT event_id,
+                   round(value / avg(value) OVER (PARTITION BY event_type), 6)
+                       AS norm_value
+            FROM events
+        """,
+        "per_group_limit": """
+            SELECT event_type, event_id, rn FROM (
+                SELECT event_type, event_id,
+                       row_number() OVER (PARTITION BY event_type
+                                          ORDER BY ts, event_id) AS rn
+                FROM events)
+            WHERE rn <= 10
+        """,
+        "circular_shift": """
+            SELECT event_type, event_id,
+                   (row_number() OVER (PARTITION BY event_type
+                                       ORDER BY ts, event_id) - 1 + 7)
+                   % (count(*) OVER (PARTITION BY event_type)) AS shifted_idx
+            FROM events
+        """,
+        "series_diff": """
+            WITH c AS (SELECT date_trunc('minute', ts) AS bucket_ts, count(*) AS n
+                       FROM events WHERE event_type = 'click' GROUP BY 1),
+                 v AS (SELECT date_trunc('minute', ts) AS bucket_ts, count(*) AS n
+                       FROM events WHERE event_type = 'view' GROUP BY 1)
+            SELECT c.bucket_ts, c.n - v.n AS diff
+            FROM c JOIN v USING (bucket_ts)
+        """,
+        "mask_case": """
+            SELECT event_type,
+                   round(sum(CASE WHEN event_type IN ('click','view')
+                                  THEN value ELSE 0.0 END), 6) AS masked_sum
+            FROM events GROUP BY 1
+        """,
+        "epn_thresholds": """
+            WITH scales(scale_idx, scale_hours) AS (VALUES
+                (0, 0.75), (1, 1.5), (2, 3.0), (3, 6.0), (4, 12.0),
+                (5, 24.0), (6, 42.0)),
+            c AS (SELECT l_linenumber - 1 AS scale_idx,
+                         abs(l_extendedprice) AS ab
+                  FROM lineitem WHERE l_linenumber - 1 < 15),
+            ranked AS (SELECT scale_idx, ab,
+                              row_number() OVER (PARTITION BY scale_idx
+                                                 ORDER BY ab) AS rnk
+                       FROM c),
+            sizes AS (SELECT scale_idx, count(*) AS n FROM c GROUP BY 1),
+            thr AS (SELECT r.scale_idx, 90.0 AS satisfaction, r.ab AS thr
+                    FROM ranked r JOIN sizes s USING (scale_idx)
+                    WHERE r.rnk = CAST(ceil(90.0 * s.n / 100.0) AS BIGINT)),
+            agg AS (SELECT c.scale_idx, t.satisfaction, t.thr,
+                           sum(least(c.ab, t.thr)) / t.thr / 1.0 AS n_cycles
+                    FROM c JOIN thr t USING (scale_idx)
+                    GROUP BY 1, 2, 3)
+            SELECT a.scale_idx, a.satisfaction,
+                   round(a.thr * 1.0, 6) AS pmax,
+                   round(a.thr * s.scale_hours / 2.0, 6) AS emax,
+                   round(a.n_cycles, 6) AS n_cycles,
+                   round(100.0 * a.n_cycles * s.scale_hours / 8760.0, 6) AS uf
+            FROM agg a JOIN scales s USING (scale_idx)
+        """,
+        "topk_argmin": """
+            SELECT event_type, bucket_ts, n FROM (
+                SELECT event_type, bucket_ts, n,
+                       row_number() OVER (PARTITION BY event_type
+                                          ORDER BY n DESC, bucket_ts) AS rn
+                FROM (SELECT event_type, date_trunc('minute', ts) AS bucket_ts,
+                             count(*) AS n
+                      FROM events GROUP BY 1, 2))
+            WHERE rn = 1
+        """,
+        "pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 6) AS sum_qty,
+                   round(sum(l_extendedprice), 6) AS sum_base_price,
+                   round(avg(l_discount), 6) AS avg_disc,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '2024-06-01 00:00:00'
+            GROUP BY 1, 2
+        """,
+        "nation_revenue": """
+            SELECT n_name,
+                   round(sum(o_totalprice), 6) AS revenue,
+                   count(*) AS n_orders
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY 1
+        """,
+        "dedup_groups": f"""
+            SELECT md5({norm}) AS fp,
+                   count(*) AS n_dups,
+                   min(doc_id) AS keeper_id
+            FROM documents GROUP BY 1
+        """,
+        "ngram_jaccard": f"""
+            WITH docs AS (SELECT doc_id, string_split({norm}, ' ') AS w
+                          FROM documents),
+            sh AS (SELECT DISTINCT doc_id,
+                          concat_ws(' ', w[i], w[i+1], w[i+2]) AS g
+                   FROM docs,
+                        unnest(generate_series(1, greatest(len(w) - 2, 1)))
+                            AS t(i)
+                   WHERE length(concat_ws(' ', w[i], w[i+1], w[i+2])) > 0),
+            sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+            common AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                              count(*) AS c
+                       FROM sh a JOIN sh b
+                         ON a.g = b.g AND a.doc_id < b.doc_id
+                       GROUP BY 1, 2)
+            SELECT id_a, id_b,
+                   round(c * 1.0 / (sa.n + sb.n - c), 6) AS jaccard
+            FROM common
+            JOIN sizes sa ON sa.doc_id = id_a
+            JOIN sizes sb ON sb.doc_id = id_b
+            WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.1
+        """,
+        "doc_stats": f"""
+            SELECT doc_id,
+                   length(text) AS n_chars,
+                   len(string_split({norm}, ' ')) AS n_words,
+                   len(regexp_extract_all(text,
+                       '[a-zA-Z0-9]+|[^a-zA-Z0-9\\s]')) AS n_tokens,
+                   md5({norm}) AS fingerprint
+            FROM documents
+        """,
+        "lang_marker_hits": f"""
+            WITH d AS (SELECT doc_id, ' ' || {norm} || ' ' AS p FROM documents)
+            SELECT doc_id,
+                   len(regexp_extract_all(p, ' the '))
+                 + len(regexp_extract_all(p, ' and '))
+                 + len(regexp_extract_all(p, ' of '))
+                 + len(regexp_extract_all(p, ' to '))
+                 + len(regexp_extract_all(p, ' is ')) AS en_hits,
+                   len(regexp_extract_all(p, ' le '))
+                 + len(regexp_extract_all(p, ' la '))
+                 + len(regexp_extract_all(p, ' et '))
+                 + len(regexp_extract_all(p, ' les '))
+                 + len(regexp_extract_all(p, ' est ')) AS fr_hits,
+                   len(regexp_extract_all(p, ' der '))
+                 + len(regexp_extract_all(p, ' die '))
+                 + len(regexp_extract_all(p, ' und '))
+                 + len(regexp_extract_all(p, ' das '))
+                 + len(regexp_extract_all(p, ' ist ')) AS de_hits,
+                   len(regexp_extract_all(p, ' el '))
+                 + len(regexp_extract_all(p, ' la '))
+                 + len(regexp_extract_all(p, ' de '))
+                 + len(regexp_extract_all(p, ' que '))
+                 + len(regexp_extract_all(p, ' es ')) AS es_hits
+            FROM d
+        """,
+        "ann_topk": """
+            WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+                       FROM embeddings WHERE vec_id < 3),
+            scored AS (SELECT q.query_id, e.vec_id,
+                              list_cosine_similarity(e.embedding::DOUBLE[],
+                                                     q.qv) AS score
+                       FROM embeddings e, q)
+            SELECT query_id, vec_id, round(score, 6) AS score, rank FROM (
+                SELECT query_id, vec_id, score,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY score DESC, vec_id) AS rank
+                FROM scored)
+            WHERE rank <= 5
+        """,
+        "cosine_pairs": """
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                                b.embedding::DOUBLE[]), 6)
+                       AS cosine
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.embedding::DOUBLE[],
+                                         b.embedding::DOUBLE[]) >= 0.5
+        """,
+        "gapfill_locf": """
+            WITH per_min AS (
+                SELECT event_type, date_trunc('minute', ts) AS bucket_ts,
+                       avg(value) AS avg_value
+                FROM events GROUP BY 1, 2),
+            bounds AS (SELECT event_type, min(bucket_ts) AS t0,
+                              max(bucket_ts) AS t1
+                       FROM per_min GROUP BY 1),
+            grid AS (SELECT event_type,
+                            unnest(generate_series(t0, t1,
+                                                   INTERVAL 1 MINUTE))
+                                AS bucket_ts
+                     FROM bounds)
+            SELECT g.event_type, g.bucket_ts,
+                   round(last_value(p.avg_value IGNORE NULLS) OVER (
+                       PARTITION BY g.event_type ORDER BY g.bucket_ts
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
+                       AS avg_value
+            FROM grid g LEFT JOIN per_min p
+              ON g.event_type = p.event_type AND g.bucket_ts = p.bucket_ts
+        """,
+    }

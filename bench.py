@@ -1,0 +1,131 @@
+"""Benchmark harness (driver contract): runs the headline queries at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
+
+    {"metric": ..., "value": <total sec>, "unit": "sec",
+     "queries": {name: sec, ...}, "sf": <sf>,
+     "turns_per_sec": ..., "n_turns": ...}
+
+The flagship measurement is the north-star pipeline: synthetic transcripts
+(scaled with sf) -> 1s activity tier -> 1m/1h/1d rollups -> gap-fill ->
+Haar+db4 DWT energy spectra -> Gorilla/delta-of-delta block encode. Its
+throughput is reported as turns/sec. Scaling-efficiency evidence (same job
+at local[8] vs local[32]) lives in tools/scaling_bench.py -> BENCH.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def _noop(df):
+    df.write.format("noop").mode("overwrite").save()
+
+
+def materialize_transcripts(spark, n_convs: int) -> str:
+    """Generate + store the synthetic transcript table (untimed setup: the
+    engine's contract input is a stored Iceberg/parquet table, not a
+    generator)."""
+    import tempfile
+
+    from wavelet_decomposition_spark.io.transcripts import transcripts_df
+
+    path = f"{tempfile.gettempdir()}/wds_bench_tx_{n_convs}"
+    transcripts_df(spark, n_convs, seed=42).write.mode("overwrite").parquet(path)
+    return path
+
+
+def flagship_pipeline(spark, tx_path: str):
+    """The rollup + wavelet + compression pipeline over the stored
+    transcript table; returns n_turns."""
+    from pyspark.sql import functions as F
+
+    from wavelet_decomposition_spark.operators import (
+        activity,
+        compress,
+        gapfill,
+        rollup,
+        wavelet_ops,
+    )
+
+    tx = spark.read.parquet(tx_path)
+    raw = activity.activity_raw(tx).cache()
+    n_turns = raw.agg(F.sum("turns")).collect()[0][0]
+    tiers = rollup.build_tiers(raw)
+    _noop(tiers["1h"])
+    _noop(tiers["1d"])
+    filled = gapfill.gapfill_zero(
+        tiers["1m"], activity.ACTIVITY_COUNT_COLS, step="1 minute"
+    ).cache()
+    for wavelet in ("haar", "db4"):
+        coefs = wavelet_ops.dwt_windows(
+            filled, "turns", wavelet=wavelet, levels=5, window_len=128
+        )
+        _noop(wavelet_ops.energy_spectrum(coefs))
+    blocks = compress.encode_blocks(tiers["1m"], activity.ACTIVITY_COUNT_COLS)
+    _noop(blocks)
+    raw.unpersist()
+    filled.unpersist()
+    return int(n_turns)
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    m = re.search(r"sf([\d.]+)", sf_dir)
+    sf = float(m.group(1)) if m else 0.1
+
+    from wavelet_decomposition_spark.plans.session import build_session
+
+    spark = build_session(app_name="wds-bench", cores=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as entrymod
+
+    timings: dict[str, float] = {}
+
+    # --- flagship: north-star rollup+wavelet throughput -------------------
+    n_convs = max(200, int(200_000 * sf))
+    tx_path = materialize_transcripts(spark, n_convs)  # untimed setup
+    t0 = time.time()
+    n_turns = flagship_pipeline(spark, tx_path)
+    flagship_sec = time.time() - t0
+    timings["flagship_rollup_wavelet"] = round(flagship_sec, 3)
+
+    # --- representative operator queries on the sf tables ------------------
+    bench_queries = [
+        "activity_1m", "rollup_1h", "gapfill_locf", "epn_thresholds",
+        "pricing_summary", "nation_revenue", "dedup_groups", "ngram_jaccard",
+        "doc_stats", "ann_topk", "minhash_pairs", "simhash_near",
+    ]
+    qs = entrymod.queries()
+    for name in bench_queries:
+        t0 = time.time()
+        _noop(qs[name](spark, sf_dir))
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "rollup+wavelet pipeline + operator suite wall time",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "n_turns": n_turns,
+                "turns_per_sec": round(n_turns / flagship_sec, 1),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

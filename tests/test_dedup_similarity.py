@@ -1,0 +1,121 @@
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from wavelet_decomposition_spark.operators import dedup, similarity
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = spark.read.parquet(f"{SF}/documents.parquet")
+    # inject exact dups and near-dups deterministically
+    dup = base.limit(20).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        "text", "lang", "source", "n_chars",
+    )
+    near = base.limit(20).select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" xyzzy")).alias("text"),
+        "lang", "source", "n_chars",
+    )
+    return base.unionByName(dup).unionByName(near).cache()
+
+
+def test_exact_dedup(spark, docs):
+    n = docs.count()
+    deduped = dedup.exact_dedup(docs)
+    assert deduped.count() == n - 20
+    groups = dedup.exact_dup_groups(docs)
+    assert groups.count() == 20
+    assert groups.filter(F.col("n_dups") != 2).count() == 0
+    # keeper is always the original (lowest id)
+    assert groups.filter(F.col("keeper_id") >= 100000).count() == 0
+
+
+def test_ngram_jaccard_finds_near_dups(spark, docs):
+    pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.8).toPandas()
+    found = set(zip(pairs.id_a, pairs.id_b))
+    # exact dups have jaccard 1.0
+    for i in range(20):
+        assert (i, i + 100000) in found
+    # all reported pairs respect the threshold
+    assert (pairs.jaccard >= 0.8).all()
+
+
+def test_minhash_lsh_recall_vs_exact(spark, docs):
+    sigs = dedup.minhash_signatures(docs).cache()
+    cand = dedup.minhash_lsh_pairs(sigs)
+    est = dedup.minhash_jaccard_estimate(sigs, cand).filter(
+        F.col("jaccard_est") >= 0.7
+    )
+    got = set(map(tuple, est.select("id_a", "id_b").toPandas().to_numpy()))
+    exact = dedup.ngram_jaccard_pairs(docs, threshold=0.9).toPandas()
+    want = set(zip(exact.id_a, exact.id_b))
+    assert want, "fixture should contain high-jaccard pairs"
+    recall = len(want & got) / len(want)
+    assert recall >= 0.9, f"LSH recall too low: {recall}"
+
+
+def test_simhash_near_pairs(spark, docs):
+    sh = dedup.simhash(docs).cache()
+    assert sh.count() == docs.count()
+    pairs = dedup.simhash_near_pairs(sh, max_hamming=3).toPandas()
+    found = set(zip(pairs.id_a, pairs.id_b))
+    # exact dups have identical simhash (hamming 0)
+    hits = sum((i, i + 100000) in found for i in range(20))
+    assert hits == 20
+
+
+def test_embedding_near_dup(spark):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    # plant a near-duplicate of vec 0
+    v0 = emb.filter(F.col("vec_id") == 0).collect()[0].embedding
+    noisy = [float(x) + 1e-4 for x in v0]
+    extra = spark.createDataFrame(
+        [(990001, noisy, 0)], "vec_id long, embedding array<float>, label int"
+    )
+    pairs = dedup.embedding_near_dup_pairs(
+        emb.unionByName(extra), threshold=0.999
+    ).toPandas()
+    assert ((pairs.id_a == 0) & (pairs.id_b == 990001)).any()
+
+
+def test_brute_force_topk_matches_numpy(spark):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").cache()
+    queries = emb.limit(3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    topk = similarity.brute_force_topk(emb, queries, k=5).toPandas()
+    pdf = emb.toPandas()
+    mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    ids = pdf["vec_id"].to_numpy()
+    mnorm = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    for qid in topk["query_id"].unique():
+        qv = mnorm[ids == qid][0]
+        scores = mnorm @ qv
+        order = np.lexsort((ids, -scores))[:5]
+        want = list(ids[order])
+        got = list(
+            topk[topk.query_id == qid].sort_values("rank")["vec_id"]
+        )
+        assert got == want
+
+
+def test_lsh_topk_recall(spark):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").cache()
+    queries = emb.limit(5).select(F.col("vec_id").alias("query_id"), "embedding")
+    exact = similarity.brute_force_topk(emb, queries, k=5).toPandas()
+    # uniform random embeddings are LSH's worst case (neighbors barely
+    # correlate with buckets) — use wide buckets to test the mechanism
+    approx = similarity.lsh_topk(emb, queries, k=5, n_planes=2).toPandas()
+    total, hit = 0, 0
+    for qid in exact["query_id"].unique():
+        want = set(exact[exact.query_id == qid]["vec_id"])
+        got = set(approx[approx.query_id == qid]["vec_id"])
+        total += len(want)
+        hit += len(want & got)
+    assert hit / total >= 0.6, f"recall {hit}/{total}"
+    # the query vector itself always lands in its own probe set
+    assert (approx[approx["rank"] == 1]["score"] > 0.999).all()

@@ -1,0 +1,71 @@
+import time
+
+from pyspark.sql import functions as F
+
+from wavelet_decomposition_spark.io.transcripts import transcripts_df
+from wavelet_decomposition_spark.operators import activity, export, rollup
+from wavelet_decomposition_spark.streaming.facade import stream_rollup_1m
+
+
+def test_sheet_layout_and_stacking(spark):
+    rows = [
+        ("A", 2012, 0, 0, 1.0), ("A", 2012, 0, 1, 2.0),
+        ("A", 2013, 0, 0, 3.0), ("A", 2013, 0, 1, 4.0),
+        ("A", 2012, 1, 0, 5.0),
+    ]
+    betas = spark.createDataFrame(
+        rows, "series_id string, year int, scale_idx int, pos int, beta double"
+    )
+    sheet = {
+        (r.year, r.scale_idx): r.column
+        for r in export.sheet_layout(betas).collect()
+    }
+    assert sheet[(2012, 0)] == [1.0, 2.0]
+    stacked = export.stacked_betas(betas).orderBy(
+        "scale_idx", "stack_pos"
+    ).collect()
+    s0 = [r.beta for r in stacked if r.scale_idx == 0]
+    assert s0 == [1.0, 2.0, 3.0, 4.0]  # 2012 then 2013, pos order within
+
+
+def test_write_betas_partitioned(spark, tmp_path):
+    betas = spark.createDataFrame(
+        [("A", 2012, 0, 0, 1.0), ("B", 2013, 1, 0, 2.0)],
+        "series_id string, year int, scale_idx int, pos int, beta double",
+    )
+    path = str(tmp_path / "betas")
+    export.write_betas(betas, path)
+    back = spark.read.parquet(path)
+    assert back.count() == 2
+    # partition pruning: reading one partition touches one directory
+    one = back.filter((F.col("series_id") == "A") & (F.col("year") == 2012))
+    assert one.count() == 1
+
+
+def test_streaming_1m_tier_matches_batch(spark, tmp_path):
+    tx = transcripts_df(spark, 20, seed=17).cache()
+    in_path = str(tmp_path / "stream_in")
+    out_path = str(tmp_path / "stream_out")
+    ckpt = str(tmp_path / "ckpt")
+    tx.write.mode("overwrite").parquet(in_path)
+    # sentinel conversation far in the future closes every real window
+    max_ts = tx.agg(F.max("ts")).collect()[0][0]
+    sentinel = spark.createDataFrame(
+        [("sentinel", 0, "user", "x", None, max_ts)],
+        tx.schema,
+    ).withColumn("ts", F.col("ts") + F.expr("interval 2 hours"))
+    sentinel.write.mode("append").parquet(in_path)
+
+    q = stream_rollup_1m(spark, in_path, out_path, ckpt, watermark="10 minutes")
+    q.awaitTermination(120)
+    for _ in range(30):
+        if not q.isActive:
+            break
+        time.sleep(1)
+
+    got = spark.read.parquet(out_path).filter(F.col("conv_id") != "sentinel")
+    batch = rollup.rollup_once(
+        activity.activity_raw(tx), "1m"
+    )
+    assert got.count() == batch.count()
+    assert got.exceptAll(batch).count() == 0

@@ -1,0 +1,90 @@
+import numpy as np
+from pyspark.sql import functions as F
+
+from wavelet_decomposition_spark.io import reference_data as rd
+from wavelet_decomposition_spark.kernel import wavelets as wl
+from wavelet_decomposition_spark.kernel.lsqr import lsqr
+from wavelet_decomposition_spark.kernel.sparse import CSRMatrix
+from wavelet_decomposition_spark.operators import spectrum, translation
+
+# small synthetic config: 16 "days" x 8 points -> 128-point grid
+DPY, DPD = 16, 8
+N = DPY * DPD
+
+
+def _toy_signal(true_shift=37):
+    base = np.zeros(N)
+    base[: N // 2] = 1.0
+    base[N // 2 :] = -1.0  # the year mother itself
+    sig = np.roll(base, true_shift) + 0.01 * np.sin(np.arange(N))
+    return sig
+
+
+def test_translation_search_matches_numpy_bruteforce(spark):
+    sig = _toy_signal()
+    mothers = wl.mother_dictionary("year", "square", DPY, DPD)
+    rows, cols = np.nonzero(mothers.T)
+    A = CSRMatrix.from_coo(rows, cols, mothers.T[rows, cols], mothers.T.shape)
+
+    # numpy brute force over all shifts
+    best, best_res = 0, float(np.dot(sig, sig))
+    for d in range(N):
+        rolled = np.roll(sig, -d)
+        rolled = rolled - rolled.mean()
+        beta, _, _ = lsqr(A, rolled, damp=0.001)
+        resid = rolled - mothers.T @ beta
+        r = float(np.dot(resid, resid))
+        if r < best_res:
+            best, best_res = d, r
+
+    got = translation.best_translation(
+        spark, sig, "year", "square", dpy=DPY, dpd=DPD
+    )
+    assert got == best
+
+
+def test_fft_spectrum_matches_numpy(spark):
+    rng = np.random.default_rng(12)
+    y = rng.normal(size=256)
+    df = spark.createDataFrame(
+        [("s", 2000, int(i), float(v)) for i, v in enumerate(y)],
+        "series_id string, year int, idx int, value double",
+    )
+    got = (
+        spectrum.fft_spectrum(df)
+        .orderBy("freq_idx")
+        .toPandas()["magnitude"]
+        .to_numpy()
+    )
+    want = 2.0 / y.size * np.abs(np.fft.fft(y - y.mean()))[: y.size // 2]
+    np.testing.assert_allclose(got, want, atol=1e-12)
+
+
+def test_per_scale_reconstruction_sums_to_full(spark):
+    """The 15 single-scale reconstructions + offset = full reconstruction
+    (linearity of A @ beta)."""
+    from wavelet_decomposition_spark.operators import decompose as dec
+    from wavelet_decomposition_spark.io.electricity import electricity_df
+    from wavelet_decomposition_spark.operators import series as ser
+    from wavelet_decomposition_spark.operators.resample import resample_per_year
+
+    df = electricity_df(spark, signals=["PV"], years=[2015])
+    df = ser.leap_trim(df, 48 * 365)
+    df = ser.normalize_yearly_mean(df)
+    df = resample_per_year(df, 48, 64, 365)
+    trans = rd.load_translations("square")
+    bc = dec.broadcast_dictionaries(spark, "square", {2015: trans[3]})
+    betas = dec.decompose(df, bc).cache()
+
+    per_scale = spectrum.per_scale_reconstruction(betas, bc)
+    summed = per_scale.groupBy("series_id", "year", "idx").agg(
+        F.sum("value").alias("scales_sum")
+    )
+    full = dec.reconstruct(betas, bc, add_offset=False).withColumnRenamed(
+        "value", "full_value"
+    )
+    joined = summed.join(full, ["series_id", "year", "idx"])
+    bad = joined.filter(
+        F.abs(F.col("scales_sum") - F.col("full_value")) > 1e-9
+    ).count()
+    assert bad == 0

@@ -113,12 +113,13 @@ def _gen_batch(conv: np.ndarray, seed: int, mean_turns: int, max_turns: int,
         is_tool, _TOOLS[(h % np.uint64(_TOOLS.size)).astype(np.int64)], None
     )
 
-    # content-addressable text, log-normal-ish length in [8, ~2k] chars
-    n_chars = (8 + 2000.0 * u_len * u_len * u_len).astype(np.int64)
+    # content-addressable text: a 16-char hash token repeated 1..120 times
+    # (lengths quantized to 17-char steps — fully vectorized, no per-row
+    # Python slicing; heavy-tailed via u^3)
+    reps = (1 + 120.0 * u_len * u_len * u_len).astype(np.int64)
     token = np.char.mod("%016x", h.astype(object))  # 16-char deterministic token
-    reps = (n_chars // 17 + 1).astype(np.int64)
     text = np.char.multiply(np.char.add(token.astype(str), " "), reps)
-    text = np.array([t[:n] for t, n in zip(text, n_chars)], dtype=object)
+    text = np.char.rstrip(text)
 
     return pd.DataFrame(
         {

@@ -37,22 +37,37 @@ def encode_blocks(
     )
 
     def _enc(pdf: pd.DataFrame) -> pd.DataFrame:
+        # one Spark group = one conversation; the (usually few) day blocks
+        # are segmented here so Spark pays one Python call per conversation,
+        # not one per (conv, day). Each block encode is vectorized numpy.
         pdf = pdf.sort_values(ts_col)
-        ts = pdf[ts_col].astype("datetime64[us]").to_numpy().view(np.int64)
-        row = {
-            group_col: [pdf[group_col].iloc[0]],
-            block_col: [pdf[block_col].iloc[0]],
-            "n_points": [len(pdf)],
-            "ts_blob": [deltadelta.encode(ts)],
-        }
+        ts_all = pdf[ts_col].astype("datetime64[us]").to_numpy().view(np.int64)
+        out = {group_col: [], block_col: [], "n_points": [], "ts_blob": []}
         for c in value_cols:
-            row[f"{c}_blob"] = [
-                gorilla.encode(pdf[c].to_numpy(dtype=np.float64))
-            ]
-        return pd.DataFrame(row)
+            out[f"{c}_blob"] = []
+        days = pdf[block_col].to_numpy()
+        bounds = np.flatnonzero(np.r_[True, days[1:] != days[:-1], True])
+        for lo, hi in zip(bounds[:-1], bounds[1:]):
+            out[group_col].append(pdf[group_col].iloc[lo])
+            out[block_col].append(days[lo])
+            out["n_points"].append(hi - lo)
+            out["ts_blob"].append(deltadelta.encode(ts_all[lo:hi]))
+            for c in value_cols:
+                out[f"{c}_blob"].append(
+                    gorilla.encode(
+                        pdf[c].iloc[lo:hi].to_numpy(dtype=np.float64)
+                    )
+                )
+        return pd.DataFrame(out)
 
     with_day = tier_df.withColumn(block_col, F.to_date(ts_col))
-    return with_day.groupBy(group_col, block_col).applyInPandas(_enc, schema=schema)
+    # Python-CPU-bound group stage: pin the task count (see wavelet_ops)
+    p = with_day.sparkSession.sparkContext.defaultParallelism * 2
+    return (
+        with_day.repartition(p, group_col)
+        .groupBy(group_col)
+        .applyInPandas(_enc, schema=schema)
+    )
 
 
 def decode_blocks(

@@ -1,0 +1,121 @@
+"""A6 — EPN storage-sizing analytics as a relational plan.
+
+Reference: /root/reference/calc_EPN.py:3-43 — per time scale, sort |beta|,
+take the ``ceil(satis * n / 100) - 1``-th order statistic as the discharge
+threshold, then a clamped sum. Here:
+
+- the order statistic is an exact rank join (row_number over the per-scale
+  window, matched against the per-satisfaction target rank) — no
+  approximate percentile, still one shuffle;
+- the clamped sum is ``sum(least(abs(beta), thr))`` after broadcasting the
+  tiny threshold table back onto the coefficients;
+- satisfactions fan out via a broadcast cross join of a literal dim table.
+
+Input: long coefficient table (group_col, scale_idx, beta) stacked across
+years (the reference runs EPN on all-years-stacked betas,
+wavelet_decomposition.py:302-319). Fully SQL-expressible -> DuckDB oracle
+in __spark_entry__.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..kernel.wavelets import TIME_SCALES_HOURS
+
+
+def epn(
+    spark: SparkSession,
+    betas: DataFrame,
+    satisfactions,
+    n_years: int,
+    time_scales=None,
+    load_factor: float = 1.0,
+    shape: str = "square",
+    group_col: str = "series_id",
+    dpy: int = 365,
+) -> DataFrame:
+    """Returns (group, scale_idx, satisfaction, pmax, emax, n, uf, serv)."""
+    time_scales = list(time_scales or TIME_SCALES_HOURS)
+    scales_df = spark.createDataFrame(
+        [(i, float(ts)) for i, ts in enumerate(time_scales)],
+        "scale_idx int, scale_hours double",
+    )
+    satis_df = spark.createDataFrame(
+        [(float(s),) for s in satisfactions], "satisfaction double"
+    )
+
+    coeff = (
+        betas.filter(F.col("scale_idx") < F.lit(len(time_scales)))
+        .select(group_col, "scale_idx", F.abs("beta").alias("abs_beta"))
+    )
+    w = Window.partitionBy(group_col, "scale_idx").orderBy("abs_beta")
+    ranked = coeff.withColumn("rank", F.row_number().over(w))
+    sizes = coeff.groupBy(group_col, "scale_idx").agg(
+        F.count(F.lit(1)).alias("n_size")
+    )
+
+    # target rank per satisfaction: isatis + 1 (calc_EPN.py:23-24)
+    targets = (
+        sizes.crossJoin(F.broadcast(satis_df))
+        .select(
+            F.col(group_col).alias("_g"),
+            F.col("scale_idx").alias("_s"),
+            "satisfaction",
+            "n_size",
+            F.ceil(F.col("satisfaction") * F.col("n_size") / 100.0)
+            .cast("int")
+            .alias("rank"),
+        )
+    )
+    thresholds = targets.join(
+        ranked,
+        on=[
+            targets["_g"] == ranked[group_col],
+            targets["_s"] == ranked["scale_idx"],
+            targets["rank"] == ranked["rank"],
+        ],
+    ).select(
+        F.col("_g").alias(group_col),
+        F.col("_s").alias("scale_idx"),
+        "satisfaction",
+        "n_size",
+        F.col("abs_beta").alias("thr"),
+    )
+
+    # clamped sum against each threshold (thresholds table is tiny)
+    clamped = (
+        coeff.join(
+            F.broadcast(thresholds), on=[group_col, "scale_idx"]
+        )
+        .groupBy(group_col, "scale_idx", "satisfaction", "thr")
+        .agg(F.sum(F.least(F.col("abs_beta"), F.col("thr"))).alias("clamped_sum"))
+    )
+
+    factor = (2.0 / 3.141592653589793) if shape == "sine" else 1.0
+    return (
+        clamped.join(F.broadcast(scales_df), "scale_idx")
+        .select(
+            group_col,
+            "scale_idx",
+            "satisfaction",
+            (F.col("thr") * F.lit(load_factor)).alias("pmax"),
+            (
+                F.col("thr") * F.lit(load_factor) * F.col("scale_hours") / 2.0
+                * F.lit(factor)
+            ).alias("emax"),
+            (F.col("clamped_sum") / F.col("thr") / F.lit(float(n_years))).alias("n"),
+            (
+                100.0
+                * (F.col("clamped_sum") / F.col("thr") / F.lit(float(n_years)))
+                * F.col("scale_hours")
+                / F.lit(float(dpy * 24))
+            ).alias("uf"),
+            (
+                F.col("thr") * F.lit(load_factor) * F.col("scale_hours") / 2.0
+                * F.lit(factor)
+                * (F.col("clamped_sum") / F.col("thr") / F.lit(float(n_years)))
+            ).alias("serv"),
+        )
+    )

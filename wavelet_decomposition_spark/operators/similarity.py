@@ -1,0 +1,119 @@
+"""Approximate nearest-neighbor search over an embedding column.
+
+- ``brute_force_topk`` — the correctness baseline: broadcast the (small)
+  query set against the corpus, JVM-side dot products via
+  ``zip_with``/``aggregate``, rank per query. One scan of the corpus, no
+  corpus self-join. SQL-expressible (DuckDB list_dot_product oracle).
+- ``lsh_topk`` — the scale path: random-hyperplane sign buckets built once
+  over the corpus (an IVF-style coarse index); queries probe only their own
+  bucket (plus optional multi-probe hamming-1 neighbors), so per-query work
+  is corpus/2^planes on average. Recall<1 by construction; the test measures
+  recall against brute force.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+
+
+def _norm(a):
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    metric: str = "cosine",
+) -> DataFrame:
+    """(query_id, vec_id, score, rank) — top-k per query by cosine (or dot).
+
+    ``queries``: (query_id, embedding). The query side is broadcast — the
+    corpus is scanned once and never shuffled until the per-query top-k
+    (which AQE handles as a tiny aggregation)."""
+    c = corpus.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).cast("array<double>").alias("cv")
+    )
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("qv"),
+    )
+    joined = c.crossJoin(F.broadcast(q))
+    score = _dot(F.col("cv"), F.col("qv"))
+    if metric == "cosine":
+        score = score / (_norm(F.col("cv")) * _norm(F.col("qv")))
+    scored = joined.select("query_id", "vec_id", score.alias("score"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def _bucket_expr(vec_col, planes: np.ndarray):
+    vec = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    bits = [
+        (
+            _dot(vec, F.array(*[F.lit(float(w)) for w in planes[p]])) > 0
+        ).cast("int") * (1 << p)
+        for p in range(planes.shape[0])
+    ]
+    return sum(bits[1:], bits[0])
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    n_planes: int = 6,
+    dim: int = 64,
+    seed: int = 42,
+    multiprobe: bool = True,
+) -> DataFrame:
+    """Bucketed ANN: corpus bucketed once by hyperplane signs; each query
+    scores only its bucket (and hamming-1 buckets when ``multiprobe``)."""
+    rng = np.random.default_rng(seed)
+    planes = rng.normal(size=(n_planes, dim))
+    c = corpus.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).cast("array<double>").alias("cv"),
+    ).withColumn("bucket", _bucket_expr("cv", planes))
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("qv"),
+    ).withColumn("qbucket", _bucket_expr("qv", planes))
+    if multiprobe:
+        probes = F.array(
+            F.col("qbucket"),
+            *[
+                F.col("qbucket").bitwiseXOR(F.lit(1 << p))
+                for p in range(n_planes)
+            ],
+        )
+        q = q.select("query_id", "qv", F.explode(probes).alias("bucket"))
+    else:
+        q = q.select("query_id", "qv", F.col("qbucket").alias("bucket"))
+    joined = c.join(F.broadcast(q), "bucket")
+    score = _dot(F.col("cv"), F.col("qv")) / (
+        _norm(F.col("cv")) * _norm(F.col("qv"))
+    )
+    scored = joined.select("query_id", "vec_id", score.alias("score")).distinct()
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

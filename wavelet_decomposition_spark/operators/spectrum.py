@@ -1,0 +1,102 @@
+"""A7 — FFT magnitude spectrum per series group, and A9 — per-scale
+reconstruction matrix for heatmaps.
+
+Reference: plots.py:85-95 (one-sided 2/N * |fft(y - mean)|) and
+preplotprocessing (wavelet_decomposition.py:325-358 — reconstruct each of
+the 15 scales separately; the reference densifies the 4.38 GB matrix for
+this, we run 15 sparse matvecs per group).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..kernel.sparse import CSRMatrix
+
+
+def fft_spectrum(
+    df: DataFrame,
+    value_col: str = "value",
+    group_cols=("series_id", "year"),
+    ts_col: str = "idx",
+) -> DataFrame:
+    """(group..., freq_idx, magnitude): one-sided demeaned FFT magnitude."""
+    group_cols = list(group_cols)
+    out_schema = (
+        ", ".join(
+            f"{c} string" if c == group_cols[0] else f"{c} int"
+            for c in group_cols
+        )
+        + ", freq_idx int, magnitude double"
+    )
+
+    def _fft(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(ts_col)
+        y = pdf[value_col].to_numpy(dtype=np.float64)
+        y = y - y.mean()
+        n = y.size
+        mag = 2.0 / n * np.abs(np.fft.fft(y))[: n // 2]
+        out = {c: pdf[c].iloc[0] for c in group_cols}
+        out["freq_idx"] = np.arange(mag.size, dtype=np.int32)
+        out["magnitude"] = mag
+        return pd.DataFrame(out)
+
+    return df.groupBy(*group_cols).applyInPandas(_fft, schema=out_schema)
+
+
+def per_scale_reconstruction(betas: DataFrame, bc, n_scales: int = 15) -> DataFrame:
+    """A9 — reconstruct each scale's signal separately:
+    (series_id, year, scale_idx, idx, value). One group = 15 sparse matvecs
+    (the heatmap's pre-pivot long form; pivot at presentation time)."""
+
+    def _per_scale(pdf: pd.DataFrame) -> pd.DataFrame:
+        state = bc.value
+        year = int(pdf["year"].iloc[0])
+        data, indices, indptr, shape = state["matrices"][year]
+        A = CSRMatrix(data, indices, indptr, shape)
+        lut_scale, lut_pos = state["scale_idx"], state["pos"]
+        key_lut = lut_scale.astype(np.int64) * 100000 + lut_pos
+        order = np.argsort(key_lut)
+        want = (
+            pdf["scale_idx"].to_numpy().astype(np.int64) * 100000
+            + pdf["pos"].to_numpy()
+        )
+        flat_idx = order[np.searchsorted(key_lut[order], want)]
+        flat_all = np.zeros(shape[1])
+        flat_all[flat_idx] = pdf["beta"].to_numpy(dtype=np.float64)
+        frames = []
+        for s in range(n_scales):
+            mask = np.zeros(shape[1])
+            sel = lut_scale == s
+            mask[sel] = flat_all[sel]
+            sig = A.matvec(mask)
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "series_id": pdf["series_id"].iloc[0],
+                        "year": year,
+                        "scale_idx": np.int32(s),
+                        "idx": np.arange(sig.size, dtype=np.int32),
+                        "value": sig,
+                    }
+                )
+            )
+        return pd.concat(frames, ignore_index=True)
+
+    return betas.groupBy("series_id", "year").applyInPandas(
+        _per_scale,
+        schema="series_id string, year int, scale_idx int, idx int, value double",
+    )
+
+
+def heatmap_pivot(per_scale: DataFrame) -> DataFrame:
+    """Wide N x 15 layout (one column per scale) — presentation export."""
+    return (
+        per_scale.groupBy("series_id", "year", "idx")
+        .pivot("scale_idx")
+        .agg(F.first("value"))
+        .orderBy("series_id", "year", "idx")
+    )

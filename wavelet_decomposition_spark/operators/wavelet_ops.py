@@ -40,6 +40,7 @@ def dwt_windows(
     transform: str = "dwt",
     group_col: str = "conv_id",
     ts_col: str = "bucket_ts",
+    n_partitions: int | None = None,
 ) -> DataFrame:
     """Pyramid-transform a gap-filled series per conversation.
 
@@ -93,7 +94,18 @@ def dwt_windows(
             }
         )
 
-    return filled.groupBy(group_col).applyInPandas(_pyramid, schema=COEF_SCHEMA)
+    # explicit co-partitioning: the pyramid stage is Python-CPU-bound, and
+    # AQE's size-based coalescing would pack thousands of groups into a
+    # handful of tasks (its cost model only sees the small shuffle bytes).
+    # repartition(P, key) satisfies the groupBy's required clustering, so no
+    # second shuffle is added and the task count stays P.
+    if n_partitions is None:
+        n_partitions = filled.sparkSession.sparkContext.defaultParallelism * 2
+    return (
+        filled.repartition(n_partitions, group_col)
+        .groupBy(group_col)
+        .applyInPandas(_pyramid, schema=COEF_SCHEMA)
+    )
 
 
 def energy_spectrum(coefs: DataFrame) -> DataFrame:

@@ -54,6 +54,10 @@ def build_session(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # keep post-shuffle parallelism for Python-bound (pandas UDF) stages:
+        # default 64 MB advisory size would coalesce small-but-CPU-heavy
+        # shuffles down to a handful of tasks
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8m")
         # --- shuffle sizing ---
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         # --- Arrow exchange for pandas UDFs (the engine's only Python) ---

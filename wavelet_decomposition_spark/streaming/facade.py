@@ -1,0 +1,60 @@
+"""Streaming facade: the 1m activity tier as a Structured Streaming job.
+
+The reference is pure batch and the north rule's rollups are scheduled
+batch; this facade exists for deployments that want the 1m tier maintained
+continuously. Tumbling window() + watermark on the event time; coarser tiers
+keep rebuilding from the 1m tier in batch (idempotent manifest refresh),
+which sidesteps multi-level streaming aggregation (unsupported) exactly the
+way the retention design already works.
+
+Usage:
+    q = stream_rollup_1m(spark, in_path, out_path, ckpt)
+    q.processAllAvailable()  # or trigger(availableNow=True) batch drains
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from ..io.transcripts import TRANSCRIPT_SCHEMA
+
+
+def stream_rollup_1m(
+    spark: SparkSession,
+    input_path: str,
+    output_path: str,
+    checkpoint_path: str,
+    watermark: str = "10 minutes",
+):
+    """File-source stream of transcript parquet -> 1m tier parquet sink."""
+    stream = (
+        spark.readStream.schema(TRANSCRIPT_SCHEMA)
+        .parquet(input_path)
+        .withWatermark("ts", watermark)
+    )
+    tier = (
+        stream.groupBy(
+            "conv_id", F.window("ts", "1 minute").alias("w")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("turns"),
+            F.sum(F.length("text")).alias("chars"),
+            F.count("tool").alias("tool_calls"),
+        )
+        .select(
+            "conv_id",
+            F.col("w.start").alias("bucket_ts"),
+            "turns",
+            "chars",
+            "tool_calls",
+        )
+    )
+    return (
+        tier.writeStream.format("parquet")
+        .option("path", output_path)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
