@@ -66,10 +66,9 @@ def entry(spark: SparkSession) -> DataFrame:
     filled = gapfill.gapfill_zero(
         tier_1m, activity.ACTIVITY_COUNT_COLS, step="1 minute"
     )
-    coefs = wavelet_ops.dwt_windows(
+    return wavelet_ops.energy_windows(
         filled, "turns", wavelet="haar", levels=4, window_len=64
     )
-    return wavelet_ops.energy_spectrum(coefs)
 
 
 # ---------------------------------------------------------------------------
@@ -379,9 +378,165 @@ def _q_gapfill_locf(spark, sf_dir):
     )
 
 
+def _q_quality_score(spark, sf_dir):
+    """Text-quality scoring + language ID via the textstats operator (every
+    column oracle-checked, including the composite quality score and the
+    greatest-struct language tie-breaking)."""
+    _prep(spark)
+    from wavelet_decomposition_spark.operators.textstats import doc_stats
+
+    out = doc_stats(_docs(spark, sf_dir))
+    return out.select(
+        "doc_id", "n_chars", "n_words", "n_tokens",
+        F.round("punct_ratio", 6).alias("punct_ratio"),
+        F.round("stopword_ratio", 6).alias("stopword_ratio"),
+        F.round("quality_score", 6).alias("quality_score"),
+        "lang_guess", "fingerprint",
+    )
+
+
+def _q_conversation_stats_skew(spark, sf_dir):
+    """Salted two-phase aggregation (skew handling for long conversations),
+    proven exact against a plain GROUP BY oracle. Events stand in as
+    transcripts: conv_id=event_type (few huge groups = worst-case skew)."""
+    _prep(spark)
+    from wavelet_decomposition_spark.operators.activity import conversation_stats
+
+    tx = _events(spark, sf_dir).select(
+        F.col("event_type").alias("conv_id"),
+        F.col("event_id").cast("int").alias("turn_idx"),
+        F.lit("user").alias("role"),
+        F.col("props").alias("text"),
+        F.when(F.col("value") > 0.5, F.lit("t")).alias("tool"),
+        "ts",
+    )
+    return conversation_stats(tx, n_salts=16)
+
+
 # ---------------------------------------------------------------------------
 # rows-only (non-SQL-expressible) queries
 # ---------------------------------------------------------------------------
+
+def _q_fft_spectrum(spark, sf_dir):
+    """A7 — one-sided demeaned FFT magnitude spectrum per (series, year)."""
+    _prep(spark)
+    from wavelet_decomposition_spark.io.electricity import electricity_df
+    from wavelet_decomposition_spark.operators import series as ser
+    from wavelet_decomposition_spark.operators.resample import resample_per_year
+    from wavelet_decomposition_spark.operators.spectrum import fft_spectrum
+
+    df = electricity_df(spark, signals=["Consumption"], years=[2013])
+    df = ser.leap_trim(df, 48 * 365)
+    df = ser.normalize_yearly_mean(df)
+    df = resample_per_year(df, 48, 64, 365)
+    return fft_spectrum(df).filter(F.col("freq_idx") < 2048)
+
+
+def _q_reconstruction_roundtrip(spark, sf_dir):
+    """A8 — decompose then inverse-transform (band-passed to day scales);
+    golden parity + round-trip residual bounds live in tests/."""
+    _prep(spark)
+    from wavelet_decomposition_spark.io import reference_data as rd
+    from wavelet_decomposition_spark.io.electricity import electricity_df
+    from wavelet_decomposition_spark.operators import decompose as dec
+    from wavelet_decomposition_spark.operators import series as ser
+    from wavelet_decomposition_spark.operators.resample import resample_per_year
+
+    df = electricity_df(spark, signals=["Consumption"], years=[2013])
+    df = ser.leap_trim(df, 48 * 365)
+    df = ser.normalize_yearly_mean(df)
+    df = resample_per_year(df, 48, 64, 365)
+    trans = rd.load_translations("square")
+    bc = dec.broadcast_dictionaries(spark, "square", {2013: trans[1]})
+    betas = dec.decompose(df, bc)
+    return dec.reconstruct(betas, bc, keep_scales=range(6), add_offset=False)
+
+
+def _q_translation_search(spark, sf_dir):
+    """A11 — distributed residual grid search over circular shifts (coarse
+    day-grid here; the full 23,360-shift sweep is the same plan, wider)."""
+    _prep(spark)
+    import numpy as np
+
+    from wavelet_decomposition_spark.io.reference_data import load_input_series
+    from wavelet_decomposition_spark.operators.translation import (
+        residues_for_shifts,
+    )
+
+    series, _years = load_input_series()
+    sig = series["Consumption"][2013][: 48 * 365]
+    sig = sig / np.mean(sig)
+    shifts = list(range(0, 48 * 365, 365))
+    return residues_for_shifts(
+        spark, sig, "year", "square", dpy=365, dpd=48, shifts=shifts
+    )
+
+
+def _q_multimodal_plan(spark, sf_dir):
+    """Multimodal plumbing: synthetic binary assets -> resize plan +
+    video frame-sampling plan + fake-feature extraction (decode stubbed)."""
+    _prep(spark)
+    from wavelet_decomposition_spark.operators import multimodal as mm
+
+    assets = mm.synthetic_assets(spark, 500, seed=42)
+    resize = mm.resize_plan(assets, max_side=512)
+    frames = (
+        mm.frame_sample_plan(assets, every_ms=60_000)
+        .groupBy("asset_id")
+        .agg(F.count(F.lit(1)).alias("n_frames"))
+    )
+    feats = mm.extract_features(assets, fake=True).select(
+        "asset_id", F.size("feature").alias("feat_dim")
+    )
+    return (
+        resize.join(feats, "asset_id")
+        .join(frames, "asset_id", "left")
+        .fillna(0, subset=["n_frames"])
+    )
+
+
+def _q_lsh_ann_topk(spark, sf_dir):
+    """LSH-bucketed ANN (the scale path; brute-force ann_topk is its
+    oracle-checked baseline)."""
+    _prep(spark)
+    from wavelet_decomposition_spark.operators.similarity import lsh_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = lsh_topk(emb, queries, k=5)
+    return out.select(
+        "query_id", "vec_id", F.round("score", 6).alias("score"), "rank"
+    )
+
+
+def _q_text_invariant(spark, sf_dir):
+    """Per-turn text-equality invariant (BASELINE.json input_hint): raw
+    snapshot vs derived lineage under stable (conv_id, turn_idx) ordering;
+    must return n_mismatch=0 over all turns."""
+    _prep(spark)
+    import tempfile
+
+    from wavelet_decomposition_spark.io.transcripts import transcripts_df
+
+    tx = transcripts_df(spark, 200, seed=42)
+    path = f"{tempfile.gettempdir()}/wds_invariant_snapshot"
+    tx.write.mode("overwrite").parquet(path)
+    derived = spark.read.parquet(path)
+    joined = tx.alias("a").join(
+        derived.alias("b"), ["conv_id", "turn_idx"], "full_outer"
+    )
+    return joined.agg(
+        F.count(F.lit(1)).alias("n_turns"),
+        F.sum(
+            F.when(
+                F.sha2(F.col("a.text"), 256) != F.sha2(F.col("b.text"), 256), 1
+            )
+            .when(F.col("a.text").isNull() | F.col("b.text").isNull(), 1)
+            .otherwise(0)
+        ).alias("n_mismatch"),
+    )
 
 def _q_transcript_rollup_1m(spark, sf_dir):
     _prep(spark)
@@ -480,7 +635,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": _q_ann_topk,
         "cosine_pairs": _q_cosine_pairs,
         "gapfill_locf": _q_gapfill_locf,
+        "quality_score": _q_quality_score,
+        "conversation_stats_skew": _q_conversation_stats_skew,
         # rows-only (no SQL oracle):
+        "fft_spectrum": _q_fft_spectrum,
+        "reconstruction_roundtrip": _q_reconstruction_roundtrip,
+        "translation_search": _q_translation_search,
+        "multimodal_plan": _q_multimodal_plan,
+        "lsh_ann_topk": _q_lsh_ann_topk,
+        "text_invariant": _q_text_invariant,
         "transcript_rollup_1m": _q_transcript_rollup_1m,
         "dwt_energy": _q_dwt_energy,
         "gorilla_blocks": _q_gorilla_blocks,
@@ -681,6 +844,85 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
             WHERE list_cosine_similarity(a.embedding::DOUBLE[],
                                          b.embedding::DOUBLE[]) >= 0.5
+        """,
+        "quality_score": f"""
+            WITH base AS (
+                SELECT doc_id,
+                       length(text) AS n_chars,
+                       len(string_split({norm}, ' ')) AS n_words,
+                       len(regexp_extract_all(text,
+                           '[a-zA-Z0-9]+|[^a-zA-Z0-9\\s]')) AS n_tokens,
+                       len(regexp_extract_all(text, '[^\\w\\s]')) AS punct,
+                       ' ' || {norm} || ' ' AS p,
+                       md5({norm}) AS fingerprint
+                FROM documents),
+            feats AS (
+                SELECT *,
+                       len(regexp_extract_all(p, ' the '))
+                     + len(regexp_extract_all(p, ' a '))
+                     + len(regexp_extract_all(p, ' and '))
+                     + len(regexp_extract_all(p, ' of '))
+                     + len(regexp_extract_all(p, ' to '))
+                     + len(regexp_extract_all(p, ' in '))
+                     + len(regexp_extract_all(p, ' is '))
+                     + len(regexp_extract_all(p, ' it '))
+                     + len(regexp_extract_all(p, ' for '))
+                     + len(regexp_extract_all(p, ' on ')) AS stop_hits,
+                       len(regexp_extract_all(p, ' the '))
+                     + len(regexp_extract_all(p, ' and '))
+                     + len(regexp_extract_all(p, ' of '))
+                     + len(regexp_extract_all(p, ' to '))
+                     + len(regexp_extract_all(p, ' is ')) AS en_h,
+                       len(regexp_extract_all(p, ' le '))
+                     + len(regexp_extract_all(p, ' la '))
+                     + len(regexp_extract_all(p, ' et '))
+                     + len(regexp_extract_all(p, ' les '))
+                     + len(regexp_extract_all(p, ' est ')) AS fr_h,
+                       len(regexp_extract_all(p, ' der '))
+                     + len(regexp_extract_all(p, ' die '))
+                     + len(regexp_extract_all(p, ' und '))
+                     + len(regexp_extract_all(p, ' das '))
+                     + len(regexp_extract_all(p, ' ist ')) AS de_h,
+                       len(regexp_extract_all(p, ' el '))
+                     + len(regexp_extract_all(p, ' la '))
+                     + len(regexp_extract_all(p, ' de '))
+                     + len(regexp_extract_all(p, ' que '))
+                     + len(regexp_extract_all(p, ' es ')) AS es_h
+                FROM base),
+            ratios AS (
+                SELECT *,
+                       punct * 1.0 / greatest(n_chars, 1) AS punct_ratio,
+                       stop_hits * 1.0 / greatest(n_words, 1) AS stop_ratio,
+                       n_chars * 1.0 / greatest(n_words, 1) AS mean_word_len,
+                       greatest(en_h, fr_h, de_h, es_h) AS mx
+                FROM feats)
+            SELECT doc_id, n_chars, n_words, n_tokens,
+                   round(punct_ratio, 6) AS punct_ratio,
+                   round(stop_ratio, 6) AS stopword_ratio,
+                   round(0.4 * least(n_words / 20.0, 1.0)
+                       + 0.2 * least(stop_ratio * 4.0, 1.0)
+                       + 0.2 * (1.0 - least(punct_ratio * 5.0, 1.0))
+                       + 0.2 * (CASE WHEN mean_word_len >= 3.0
+                                      AND mean_word_len <= 12.0
+                                     THEN 1.0 ELSE 0.0 END), 6)
+                       AS quality_score,
+                   CASE WHEN mx = 0 THEN 'und'
+                        WHEN fr_h = mx THEN 'fr'
+                        WHEN es_h = mx THEN 'es'
+                        WHEN en_h = mx THEN 'en'
+                        ELSE 'de' END AS lang_guess,
+                   fingerprint
+            FROM ratios
+        """,
+        "conversation_stats_skew": """
+            SELECT event_type AS conv_id,
+                   count(*) AS n_turns,
+                   sum(length(props)) AS n_chars,
+                   sum(CASE WHEN value > 0.5 THEN 1 ELSE 0 END)
+                       AS n_tool_calls,
+                   min(ts) AS first_ts,
+                   max(ts) AS last_ts
+            FROM events GROUP BY 1
         """,
         "gapfill_locf": """
             WITH per_min AS (

@@ -37,41 +37,58 @@ def materialize_transcripts(spark, n_convs: int) -> str:
     from wavelet_decomposition_spark.io.transcripts import transcripts_df
 
     path = f"{tempfile.gettempdir()}/wds_bench_tx_{n_convs}"
-    transcripts_df(spark, n_convs, seed=42).write.mode("overwrite").parquet(path)
+    # 64 input splits regardless of the generating session's core count, so
+    # every parallelism level under test sees the same well-split scan
+    transcripts_df(spark, n_convs, seed=42, partitions=64).write.mode(
+        "overwrite"
+    ).parquet(path)
     return path
 
 
 def flagship_pipeline(spark, tx_path: str):
     """The rollup + wavelet + compression pipeline over the stored
-    transcript table; returns n_turns."""
+    transcript table; returns n_turns.
+
+    Plan shape (deliberate — see BENCH.md):
+    - the wide text column is scanned ONCE: raw 1s tier -> 1m tier in a
+      single lineage, and only the narrow 1m tier (no strings but conv_id)
+      is cached for the 1h/1d cascade, the wavelet jobs, and the codec.
+    - zero gap-fill is FUSED into the window builder
+      (``sparse_fill_step``): the exploded per-minute grid (3-4x the tier's
+      rows) is never materialized or shuffled. ``gapfill_zero/locf`` remain
+      standalone operators for LOCF/gauge series.
+    - energy spectra come from the in-UDF einsum path, not a second
+      per-coefficient shuffle."""
     from pyspark.sql import functions as F
 
     from wavelet_decomposition_spark.operators import (
         activity,
         compress,
-        gapfill,
         rollup,
         wavelet_ops,
     )
 
     tx = spark.read.parquet(tx_path)
-    raw = activity.activity_raw(tx).cache()
-    n_turns = raw.agg(F.sum("turns")).collect()[0][0]
-    tiers = rollup.build_tiers(raw)
-    _noop(tiers["1h"])
-    _noop(tiers["1d"])
-    filled = gapfill.gapfill_zero(
-        tiers["1m"], activity.ACTIVITY_COUNT_COLS, step="1 minute"
-    ).cache()
+    raw = activity.activity_raw(tx)
+    tier_1m = rollup.rollup_once(raw, "1m").cache()
+    n_turns = tier_1m.agg(F.sum("turns")).collect()[0][0]
+    tier_1h = rollup.rollup_once(tier_1m, "1h")
+    _noop(tier_1h)
+    _noop(rollup.rollup_once(tier_1h, "1d"))
     for wavelet in ("haar", "db4"):
-        coefs = wavelet_ops.dwt_windows(
-            filled, "turns", wavelet=wavelet, levels=5, window_len=128
-        )
-        _noop(wavelet_ops.energy_spectrum(coefs))
-    blocks = compress.encode_blocks(tiers["1m"], activity.ACTIVITY_COUNT_COLS)
+        # both north-star products: the per-coefficient table and the
+        # per-scale energy spectrum
+        _noop(wavelet_ops.dwt_windows(
+            tier_1m, "turns", wavelet=wavelet, levels=5, window_len=128,
+            sparse_fill_step="1 minute",
+        ))
+        _noop(wavelet_ops.energy_windows(
+            tier_1m, "turns", wavelet=wavelet, levels=5, window_len=128,
+            sparse_fill_step="1 minute",
+        ))
+    blocks = compress.encode_blocks(tier_1m, activity.ACTIVITY_COUNT_COLS)
     _noop(blocks)
-    raw.unpersist()
-    filled.unpersist()
+    tier_1m.unpersist()
     return int(n_turns)
 
 

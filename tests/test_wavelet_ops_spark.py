@@ -55,3 +55,72 @@ def test_modwt_windows_shapes(spark):
     # MODWT is undecimated: every level has window_len coefficients
     counts = pdf.groupby(["conv_id", "window_id", "level", "coef_type"]).size()
     assert set(counts.unique()) == {64}
+
+
+def test_energy_windows_matches_relational_spectrum(spark):
+    """In-UDF spectrum (scale path) == energy_spectrum over the coefficient
+    table (relational path), row for row."""
+    filled = _filled(spark, n=5, seed=11)
+    kw = dict(wavelet="db4", levels=4, window_len=128)
+    want = (
+        wavelet_ops.energy_spectrum(
+            wavelet_ops.dwt_windows(filled, "turns", **kw)
+        )
+        .orderBy("conv_id", "window_id", "level", "coef_type")
+        .toPandas()
+    )
+    got = (
+        wavelet_ops.energy_windows(filled, "turns", **kw)
+        .orderBy("conv_id", "window_id", "level", "coef_type")
+        .toPandas()
+    )
+    assert list(got.columns) == list(want.columns)
+    assert len(got) == len(want)
+    for c in ("conv_id", "window_id", "level", "coef_type", "wavelet"):
+        assert (got[c].to_numpy() == want[c].to_numpy()).all()
+    np.testing.assert_allclose(
+        got["energy"].to_numpy(), want["energy"].to_numpy(), rtol=1e-9
+    )
+
+
+def test_sparse_fill_fusion_matches_explicit_gapfill(spark):
+    """dwt over the SPARSE tier with sparse_fill_step == dwt over the
+    explicitly gap-filled dense grid (the fusion the flagship relies on)."""
+    from wavelet_decomposition_spark.io.transcripts import transcripts_df
+    from wavelet_decomposition_spark.operators import rollup
+
+    raw = activity.activity_raw(transcripts_df(spark, 8, seed=5))
+    tier = rollup.rollup_once(raw, "1m")
+    dense = gapfill.gapfill_zero(
+        tier, ["turns", "chars", "tool_calls"], step="1 minute"
+    )
+    kw = dict(wavelet="db4", levels=3, window_len=64)
+    order = ["conv_id", "window_id", "level", "coef_type", "k"]
+    want = (
+        wavelet_ops.dwt_windows(dense, "turns", **kw)
+        .orderBy(*order).toPandas()
+    )
+    got = (
+        wavelet_ops.dwt_windows(tier, "turns", sparse_fill_step="1 minute", **kw)
+        .orderBy(*order).toPandas()
+    )
+    assert len(got) == len(want) and len(got) > 0
+    for c in order:
+        assert (got[c].to_numpy() == want[c].to_numpy()).all()
+    np.testing.assert_allclose(
+        got["coef"].to_numpy(), want["coef"].to_numpy(), atol=1e-12
+    )
+    # energy path too
+    e_want = (
+        wavelet_ops.energy_windows(dense, "turns", **kw)
+        .orderBy("conv_id", "window_id", "level", "coef_type").toPandas()
+    )
+    e_got = (
+        wavelet_ops.energy_windows(
+            tier, "turns", sparse_fill_step="1 minute", **kw
+        )
+        .orderBy("conv_id", "window_id", "level", "coef_type").toPandas()
+    )
+    np.testing.assert_allclose(
+        e_got["energy"].to_numpy(), e_want["energy"].to_numpy(), rtol=1e-9
+    )

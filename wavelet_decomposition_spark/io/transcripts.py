@@ -114,16 +114,18 @@ def _gen_batch(conv: np.ndarray, seed: int, mean_turns: int, max_turns: int,
     )
 
     # content-addressable text: a 16-char hash token repeated 1..120 times
-    # (lengths quantized to 17-char steps — fully vectorized, no per-row
-    # Python slicing; heavy-tailed via u^3)
+    # (lengths quantized to 17-char steps; heavy-tailed via u^3). Built as
+    # pandas object strings — np.char.multiply would allocate a fixed-width
+    # U(17*max_reps) array for EVERY row (gigabytes per task at high fan-out)
     reps = (1 + 120.0 * u_len * u_len * u_len).astype(np.int64)
-    token = np.char.mod("%016x", h.astype(object))  # 16-char deterministic token
-    text = np.char.multiply(np.char.add(token.astype(str), " "), reps)
-    text = np.char.rstrip(text)
+    token = pd.Series(h).map("{:016x}".format)  # 16-char deterministic token
+    text = (token + " ").str.repeat(reps).str.rstrip().to_numpy(dtype=object)
 
     return pd.DataFrame(
         {
-            "conv_id": np.char.mod("conv-%08d", cid.astype(object)).astype(str),
+            "conv_id": pd.Series(cid).map("conv-{:08d}".format).to_numpy(
+                dtype=object
+            ),
             "turn_idx": tidx.astype(np.int32),
             "role": role,
             "text": text,

@@ -75,17 +75,31 @@ def dwt(x: np.ndarray, wavelet: str = "haar", levels: int | None = None):
     Requires ``len(x)`` divisible by ``2**levels``.
     """
     x = np.asarray(x, dtype=np.float64)
-    h, g = filters(wavelet)
     if levels is None:
         levels = max_level(x.size, wavelet)
+    details, approx = dwt_batch(x[None, :], wavelet, levels)
+    return [d[0] for d in details], approx[0]
+
+
+def dwt_batch(X: np.ndarray, wavelet: str, levels: int):
+    """Batched :func:`dwt` over the rows of ``X`` (shape ``(B, N)``) — one
+    gather + matmul per level for the whole batch, so a task processing
+    thousands of windows pays numpy-kernel cost, not per-window Python.
+    Returns ``(details, approx)`` with ``details[j]`` shaped
+    ``(B, N/2^(j+1))`` and ``approx`` ``(B, N/2^levels)``."""
+    A = np.ascontiguousarray(X, dtype=np.float64)
+    h, g = filters(wavelet)
     details = []
-    a = x
     for _ in range(levels):
-        if a.size % 2:
+        n = A.shape[1]
+        if n % 2:
             raise ValueError("signal length must be divisible by 2**levels")
-        details.append(_analysis_step(a, g))
-        a = _analysis_step(a, h)
-    return details, a
+        k = np.arange(n // 2)
+        idx = (2 * k[:, None] + np.arange(h.size)[None, :]) % n
+        gathered = A[:, idx]  # (B, n/2, taps)
+        details.append(gathered @ g)
+        A = gathered @ h
+    return details, A
 
 
 def idwt(details, approx: np.ndarray, wavelet: str = "haar") -> np.ndarray:
@@ -108,20 +122,29 @@ def modwt(x: np.ndarray, wavelet: str = "haar", levels: int | None = None):
     wavelet coefficients (each len N) and ``V`` the final scaling
     coefficients. Circular boundary."""
     x = np.asarray(x, dtype=np.float64)
+    if levels is None:
+        h, _ = filters(wavelet)
+        levels = max(1, int(np.log2(max(x.size // h.size, 2))))
+    W, V = modwt_batch(x[None, :], wavelet, levels)
+    return [w[0] for w in W], V[0]
+
+
+def modwt_batch(X: np.ndarray, wavelet: str, levels: int):
+    """Batched :func:`modwt` over rows of ``X`` (shape ``(B, N)``); see
+    :func:`dwt_batch`. ``W[j]`` and ``V`` all come back shaped ``(B, N)``."""
+    V = np.ascontiguousarray(X, dtype=np.float64)
     h, g = filters(wavelet)
     ht, gt = h / SQRT2, g / SQRT2
-    if levels is None:
-        levels = max(1, int(np.log2(max(x.size // h.size, 2))))
-    n = x.size
+    n = V.shape[1]
     t = np.arange(n)
     W = []
-    v = x
     for j in range(1, levels + 1):
         step = 2 ** (j - 1)
         idx = (t[:, None] - step * np.arange(h.size)[None, :]) % n
-        W.append(v[idx] @ gt)
-        v = v[idx] @ ht
-    return W, v
+        gathered = V[:, idx]  # (B, N, taps)
+        W.append(gathered @ gt)
+        V = gathered @ ht
+    return W, V
 
 
 def imodwt(W, V: np.ndarray, wavelet: str = "haar") -> np.ndarray:

@@ -37,35 +37,39 @@ def encode_blocks(
     )
 
     def _enc(pdf: pd.DataFrame) -> pd.DataFrame:
-        # one Spark group = one conversation; the (usually few) day blocks
-        # are segmented here so Spark pays one Python call per conversation,
-        # not one per (conv, day). Each block encode is vectorized numpy.
-        pdf = pdf.sort_values(ts_col)
+        # one Spark group = one BUCKET of conversations (per-conv UDF calls
+        # were the profiled bottleneck); block boundaries fall where the
+        # (conv, day) pair changes, so segmentation is one vectorized pass
+        # and only the bit-packing codec runs per block.
+        pdf = pdf.sort_values([group_col, ts_col])
         ts_all = pdf[ts_col].astype("datetime64[us]").to_numpy().view(np.int64)
-        out = {group_col: [], block_col: [], "n_points": [], "ts_blob": []}
+        convs = pdf[group_col].to_numpy()
+        days = pdf[block_col].to_numpy()
+        vals = {c: pdf[c].to_numpy(dtype=np.float64) for c in value_cols}
+        change = (convs[1:] != convs[:-1]) | (days[1:] != days[:-1])
+        bounds = np.flatnonzero(np.r_[True, change, True])
+        out = {group_col: convs[bounds[:-1]], block_col: days[bounds[:-1]],
+               "n_points": (bounds[1:] - bounds[:-1]).astype(np.int32),
+               "ts_blob": [], }
         for c in value_cols:
             out[f"{c}_blob"] = []
-        days = pdf[block_col].to_numpy()
-        bounds = np.flatnonzero(np.r_[True, days[1:] != days[:-1], True])
         for lo, hi in zip(bounds[:-1], bounds[1:]):
-            out[group_col].append(pdf[group_col].iloc[lo])
-            out[block_col].append(days[lo])
-            out["n_points"].append(hi - lo)
             out["ts_blob"].append(deltadelta.encode(ts_all[lo:hi]))
             for c in value_cols:
-                out[f"{c}_blob"].append(
-                    gorilla.encode(
-                        pdf[c].iloc[lo:hi].to_numpy(dtype=np.float64)
-                    )
-                )
+                out[f"{c}_blob"].append(gorilla.encode(vals[c][lo:hi]))
         return pd.DataFrame(out)
 
     with_day = tier_df.withColumn(block_col, F.to_date(ts_col))
-    # Python-CPU-bound group stage: pin the task count (see wavelet_ops)
+    # Python-CPU-bound group stage: pin the task count and bucket the
+    # conversations (see wavelet_ops.dwt_windows for the rationale)
     p = with_day.sparkSession.sparkContext.defaultParallelism * 2
+    n_buckets = p * 4
+    bucketed = with_day.withColumn(
+        "_bucket", F.pmod(F.hash(group_col), F.lit(n_buckets))
+    )
     return (
-        with_day.repartition(p, group_col)
-        .groupBy(group_col)
+        bucketed.repartition(p, "_bucket")
+        .groupBy("_bucket")
         .applyInPandas(_enc, schema=schema)
     )
 
@@ -101,7 +105,15 @@ def decode_blocks(
             else pd.DataFrame(columns=[group_col, ts_col, *value_cols])
         )
 
-    return blocks.groupBy(group_col).applyInPandas(_dec, schema=schema)
+    p = blocks.sparkSession.sparkContext.defaultParallelism * 2
+    bucketed = blocks.withColumn(
+        "_bucket", F.pmod(F.hash(group_col), F.lit(p * 4))
+    )
+    return (
+        bucketed.repartition(p, "_bucket")
+        .groupBy("_bucket")
+        .applyInPandas(_dec, schema=schema)
+    )
 
 
 def compression_report(blocks: DataFrame, value_cols) -> DataFrame:

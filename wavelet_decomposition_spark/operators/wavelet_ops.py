@@ -31,6 +31,24 @@ COEF_SCHEMA = (
 )
 
 
+def _positions(pdf, codes, counts, starts, ts_col, step_us, window_len):
+    """(grid position per row, windows per conversation).
+
+    Dense mode (``step_us`` None): rows ARE the grid (input pre-gap-filled).
+    Sparse mode: position = (ts - conv's first ts) / step; absent grid points
+    simply never get scattered — they stay zero in the window matrix, which
+    is precisely ``gapfill_zero``'s output for count series."""
+    if step_us is None:
+        pos = np.arange(len(pdf)) - starts[codes]
+        nwin = np.maximum(1, -(-counts // window_len))
+    else:
+        ts = pdf[ts_col].to_numpy(dtype="datetime64[us]").view(np.int64)
+        pos = (ts - ts[starts][codes]) // step_us
+        last = pos[starts + counts - 1]
+        nwin = np.maximum(1, -(-(last + 1) // window_len))
+    return pos, nwin
+
+
 def dwt_windows(
     filled: DataFrame,
     value_col: str,
@@ -41,47 +59,72 @@ def dwt_windows(
     group_col: str = "conv_id",
     ts_col: str = "bucket_ts",
     n_partitions: int | None = None,
+    sparse_fill_step: str | None = None,
 ) -> DataFrame:
     """Pyramid-transform a gap-filled series per conversation.
 
     ``window_len`` defaults to ``2**levels * 8``; tail windows are zero-padded
     to the dyadic length (zero turns = genuinely zero activity, so padding is
     semantically the zero-fill continued).
+
+    ``sparse_fill_step`` fuses the zero gap-fill into the window builder:
+    pass the grid step (e.g. ``"1 minute"``) and the input may be the SPARSE
+    tier — each row lands at position ``(ts - min(ts) per conv) / step`` and
+    the missing grid points stay zero, exactly what
+    ``gapfill_zero(...)`` + dense windows would produce (asserted by
+    tests/test_wavelet_ops_spark.py). At scale this removes the exploded
+    grid's join/shuffle — the gap-filled series is never materialized.
     """
     if window_len is None:
         window_len = (2**levels) * 8
     if transform not in ("dwt", "modwt"):
         raise ValueError(transform)
+    step_us = (
+        int(pd.Timedelta(sparse_fill_step).total_seconds() * 1e6)
+        if sparse_fill_step is not None
+        else None
+    )
 
-    def _pyramid(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(ts_col)
+    def _pyramid_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        """One Spark group = one BUCKET of conversations; every step below is
+        a whole-bucket numpy operation — per-conversation Python overhead is
+        amortized across the bucket (thousands of tiny per-conv UDF calls
+        were the profile's dominant cost)."""
+        pdf = pdf.sort_values([group_col, ts_col])
+        codes, uniques = pd.factorize(pdf[group_col], sort=False)
         x = pdf[value_col].to_numpy(dtype=np.float64)
-        conv = pdf[group_col].iloc[0]
-        n_windows = max(1, -(-x.size // window_len))
-        padded = np.zeros(n_windows * window_len, dtype=np.float64)
-        padded[: x.size] = x
+        counts = np.bincount(codes)
+        starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+        pos, nwin = _positions(pdf, codes, counts, starts, ts_col,
+                               step_us, window_len)
+        win_base = np.concatenate(([0], np.cumsum(nwin)[:-1]))
+        total_win = int(nwin.sum())
+        M = np.zeros((total_win, window_len), dtype=np.float64)
+        M[win_base[codes] + pos // window_len, pos % window_len] = x
+
+        if transform == "dwt":
+            details, approx = kdwt.dwt_batch(M, wavelet, levels)
+        else:
+            details, approx = kdwt.modwt_batch(M, wavelet, levels)
+
+        win_code = np.repeat(np.arange(counts.size), nwin)
+        win_conv = np.asarray(uniques, dtype=object)[win_code]
+        win_id = (np.arange(total_win) - win_base[win_code]).astype(np.int32)
+
         out_conv, out_win, out_level, out_k, out_type, out_coef = (
             [], [], [], [], [], []
         )
-        for w in range(n_windows):
-            seg = padded[w * window_len : (w + 1) * window_len]
-            if transform == "dwt":
-                details, approx = kdwt.dwt(seg, wavelet, levels)
-            else:
-                details, approx = kdwt.modwt(seg, wavelet, levels)
-            for lvl, d in enumerate(details, start=1):
-                out_conv.append(np.full(d.size, conv, dtype=object))
-                out_win.append(np.full(d.size, w, dtype=np.int32))
-                out_level.append(np.full(d.size, lvl, dtype=np.int32))
-                out_k.append(np.arange(d.size, dtype=np.int32))
-                out_type.append(np.full(d.size, "detail", dtype=object))
-                out_coef.append(d)
-            out_conv.append(np.full(approx.size, conv, dtype=object))
-            out_win.append(np.full(approx.size, w, dtype=np.int32))
-            out_level.append(np.full(approx.size, levels, dtype=np.int32))
-            out_k.append(np.arange(approx.size, dtype=np.int32))
-            out_type.append(np.full(approx.size, "approx", dtype=object))
-            out_coef.append(approx)
+        for lvl, C, ctype in [
+            *((j + 1, d, "detail") for j, d in enumerate(details)),
+            (levels, approx, "approx"),
+        ]:
+            m = C.shape[1]
+            out_conv.append(np.repeat(win_conv, m))
+            out_win.append(np.repeat(win_id, m))
+            out_level.append(np.full(total_win * m, lvl, dtype=np.int32))
+            out_k.append(np.tile(np.arange(m, dtype=np.int32), total_win))
+            out_type.append(np.full(total_win * m, ctype, dtype=object))
+            out_coef.append(C.ravel())  # row-major: window-major order
         return pd.DataFrame(
             {
                 "conv_id": np.concatenate(out_conv),
@@ -94,24 +137,129 @@ def dwt_windows(
             }
         )
 
-    # explicit co-partitioning: the pyramid stage is Python-CPU-bound, and
-    # AQE's size-based coalescing would pack thousands of groups into a
-    # handful of tasks (its cost model only sees the small shuffle bytes).
-    # repartition(P, key) satisfies the groupBy's required clustering, so no
-    # second shuffle is added and the task count stays P.
+    # Bucketed fan-out: B = 8x parallelism buckets, hashed from conv_id, so
+    # each task handles a few buckets' worth of conversations in one UDF
+    # call. AQE's size-based coalescing would otherwise pack the (small by
+    # bytes, heavy by Python CPU) groups into a handful of tasks; the
+    # explicit repartition on the bucket key both pins the task count and
+    # satisfies the groupBy clustering (no extra shuffle). At cluster scale
+    # B grows with defaultParallelism automatically.
     if n_partitions is None:
         n_partitions = filled.sparkSession.sparkContext.defaultParallelism * 2
+    n_buckets = n_partitions * 4
+    bucketed = filled.withColumn(
+        "_bucket", F.pmod(F.hash(group_col), F.lit(n_buckets))
+    )
     return (
-        filled.repartition(n_partitions, group_col)
-        .groupBy(group_col)
-        .applyInPandas(_pyramid, schema=COEF_SCHEMA)
+        bucketed.repartition(n_partitions, "_bucket")
+        .groupBy("_bucket")
+        .applyInPandas(_pyramid_bucket, schema=COEF_SCHEMA)
     )
 
 
 def energy_spectrum(coefs: DataFrame) -> DataFrame:
     """Per-scale energy — relational aggregation over the coefficient table
-    (sum of squares; Parseval ties the total to the input energy)."""
+    (sum of squares; Parseval ties the total to the input energy).
+
+    Scale note: this re-shuffles one row per coefficient. When only the
+    spectrum is needed (not the coefficient table), use
+    :func:`energy_windows`, which computes the same numbers inside the
+    pyramid UDF pass and never materializes per-coefficient rows."""
     return (
         coefs.groupBy("conv_id", "window_id", "wavelet", "level", "coef_type")
         .agg(F.sum(F.col("coef") * F.col("coef")).alias("energy"))
+    )
+
+
+ENERGY_SCHEMA = (
+    "conv_id string, window_id int, wavelet string, level int, "
+    "coef_type string, energy double"
+)
+
+
+def energy_windows(
+    filled: DataFrame,
+    value_col: str,
+    wavelet: str = "haar",
+    levels: int = 5,
+    window_len: int | None = None,
+    transform: str = "dwt",
+    group_col: str = "conv_id",
+    ts_col: str = "bucket_ts",
+    n_partitions: int | None = None,
+    sparse_fill_step: str | None = None,
+) -> DataFrame:
+    """Per-scale energy spectrum computed inside the pyramid pass — one
+    ``einsum`` per level per bucket, output one row per
+    (conv, window, level, coef_type) instead of one per coefficient.
+
+    Same numbers as ``energy_spectrum(dwt_windows(...))`` (float64-tolerance:
+    the in-UDF sum is a single vectorized reduction) without the
+    per-coefficient shuffle — at 10^12 turns that shuffle, not the math, is
+    the bottleneck. ``sparse_fill_step`` fuses the zero gap-fill exactly as
+    in :func:`dwt_windows`."""
+    if window_len is None:
+        window_len = (2**levels) * 8
+    if transform not in ("dwt", "modwt"):
+        raise ValueError(transform)
+    step_us = (
+        int(pd.Timedelta(sparse_fill_step).total_seconds() * 1e6)
+        if sparse_fill_step is not None
+        else None
+    )
+
+    def _energy_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values([group_col, ts_col])
+        codes, uniques = pd.factorize(pdf[group_col], sort=False)
+        x = pdf[value_col].to_numpy(dtype=np.float64)
+        counts = np.bincount(codes)
+        starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+        pos, nwin = _positions(pdf, codes, counts, starts, ts_col,
+                               step_us, window_len)
+        win_base = np.concatenate(([0], np.cumsum(nwin)[:-1]))
+        total_win = int(nwin.sum())
+        M = np.zeros((total_win, window_len), dtype=np.float64)
+        M[win_base[codes] + pos // window_len, pos % window_len] = x
+        if transform == "dwt":
+            details, approx = kdwt.dwt_batch(M, wavelet, levels)
+        else:
+            details, approx = kdwt.modwt_batch(M, wavelet, levels)
+
+        win_code = np.repeat(np.arange(counts.size), nwin)
+        win_conv = np.asarray(uniques, dtype=object)[win_code]
+        win_id = (np.arange(total_win) - win_base[win_code]).astype(np.int32)
+
+        bands = [
+            *(((j + 1), d, "detail") for j, d in enumerate(details)),
+            (levels, approx, "approx"),
+        ]
+        n_bands = len(bands)
+        energies = np.empty((n_bands, total_win), dtype=np.float64)
+        lvls = np.empty(n_bands, dtype=np.int32)
+        types: list[str] = []
+        for i, (lvl, C, ctype) in enumerate(bands):
+            energies[i] = np.einsum("ij,ij->i", C, C)
+            lvls[i] = lvl
+            types.append(ctype)
+        return pd.DataFrame(
+            {
+                "conv_id": np.tile(win_conv, n_bands),
+                "window_id": np.tile(win_id, n_bands),
+                "wavelet": wavelet,
+                "level": np.repeat(lvls, total_win),
+                "coef_type": np.repeat(np.array(types, dtype=object), total_win),
+                "energy": energies.ravel(),
+            }
+        )
+
+    if n_partitions is None:
+        n_partitions = filled.sparkSession.sparkContext.defaultParallelism * 2
+    n_buckets = n_partitions * 4
+    bucketed = filled.withColumn(
+        "_bucket", F.pmod(F.hash(group_col), F.lit(n_buckets))
+    )
+    return (
+        bucketed.repartition(n_partitions, "_bucket")
+        .groupBy("_bucket")
+        .applyInPandas(_energy_bucket, schema=ENERGY_SCHEMA)
     )

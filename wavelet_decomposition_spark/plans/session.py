@@ -66,7 +66,9 @@ def build_session(
         # solve groups are 23,360 rows; activity windows are bounded — large
         # batches keep the JVM<->Python round trips few
         .config("spark.sql.files.maxPartitionBytes", "134217728")
-        .config("spark.driver.memory", os.environ.get("WDS_DRIVER_MEM", "8g"))
+        # local-mode: the driver JVM hosts all task threads; size the heap
+        # for 32 concurrent tasks' shuffle + Arrow buffers (box has 128 GiB)
+        .config("spark.driver.memory", os.environ.get("WDS_DRIVER_MEM", "48g"))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
     )
