@@ -1,0 +1,63 @@
+"""Physical-plan regression tests: the properties that make the engine
+viable at 100 TB (scan pushdown + pruning, broadcast dimension joins,
+map-side partial aggregation, single-shuffle UDF stages) asserted against
+``explain`` output so they cannot silently regress.
+"""
+
+import pytest
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+def _plan(df, mode: str = "formatted") -> str:
+    jdf = df._jdf
+    modes = df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode
+    return jdf.queryExecution().explainString(modes.fromString(mode))
+
+
+@pytest.fixture(scope="module")
+def queries():
+    import __spark_entry__ as entry
+
+    return entry.queries()
+
+
+def test_filter_pushdown_and_column_pruning(spark, queries):
+    plan = _plan(queries["pricing_summary"](spark, SF_DIR))
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    # only the 6 needed columns reach the scan — no l_orderkey/l_comment/...
+    read = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
+    assert "l_comment" not in read and "l_orderkey" not in read
+    assert read.count(":") >= 6
+
+
+def test_dimension_joins_broadcast(spark, queries):
+    plan = _plan(queries["nation_revenue"](spark, SF_DIR))
+    # formatted explain prints each node in the tree and the detail section
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_rollup_partial_aggregation(spark, queries):
+    # two-level HashAggregate = map-side combine before the shuffle
+    plan = _plan(queries["activity_1m"](spark, SF_DIR))
+    assert plan.count("HashAggregate") >= 2
+    read = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
+    assert "props" not in read and "user_id" not in read
+
+
+def test_wavelet_stage_single_shuffle(spark):
+    """The pyramid stage adds exactly one exchange (the bucket repartition);
+    the groupBy reuses that clustering instead of shuffling again."""
+    from wavelet_decomposition_spark.io.transcripts import transcripts_df
+    from wavelet_decomposition_spark.operators import activity, rollup, wavelet_ops
+
+    tier = rollup.rollup_once(
+        activity.activity_raw(transcripts_df(spark, 20, seed=3)), "1m"
+    )
+    base = _plan(tier, "simple").count("Exchange")
+    coefs = wavelet_ops.dwt_windows(
+        tier, "turns", wavelet="haar", levels=3, window_len=64,
+        sparse_fill_step="1 minute",
+    )
+    assert _plan(coefs, "simple").count("Exchange") == base + 1
