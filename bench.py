@@ -110,6 +110,18 @@ def main():
     # --- flagship: north-star rollup+wavelet throughput -------------------
     n_convs = max(200, int(200_000 * sf))
     tx_path = materialize_transcripts(spark, n_convs)  # untimed setup
+    # untimed worker warm-up: spawning the Python-worker pool + importing
+    # the package there costs tens of seconds once per session; a
+    # long-running deployment pays it once, so the timings below measure
+    # steady state (cold-start cost is reported by tools/scaling_bench.py)
+    from wavelet_decomposition_spark.operators import wavelet_ops as _w
+
+    _noop(_w.energy_windows(
+        spark.read.parquet(tx_path).limit(2000)
+        .selectExpr("conv_id", "ts as bucket_ts", "1.0 as turns"),
+        "turns", wavelet="haar", levels=2, window_len=16,
+        sparse_fill_step="1 minute",
+    ))
     t0 = time.time()
     n_turns = flagship_pipeline(spark, tx_path)
     flagship_sec = time.time() - t0
