@@ -453,22 +453,86 @@ def _q_reconstruction_roundtrip(spark, sf_dir):
 
 
 def _q_translation_search(spark, sf_dir):
-    """A11 — distributed residual grid search over circular shifts (coarse
-    day-grid here; the full 23,360-shift sweep is the same plan, wider)."""
+    """A11 — the reference's dominant cost at FULL width: all 23,360
+    circular shifts for (Consumption, 2012, year family), distributed
+    (reference: ~hours single-core per year, calc_translations.py:29-43
+    "grab a coffee"). Golden-pickle parity for all three families (modulo
+    the families' exact-arithmetic tie symmetries) is asserted in
+    tests/test_translation_spectrum.py."""
     _prep(spark)
-    import numpy as np
-
-    from wavelet_decomposition_spark.io.reference_data import load_input_series
+    from wavelet_decomposition_spark.io.reference_data import (
+        load_prepared_signal,
+    )
     from wavelet_decomposition_spark.operators.translation import (
         residues_for_shifts,
     )
 
-    series, _years = load_input_series()
-    sig = series["Consumption"][2013][: 48 * 365]
-    sig = sig / np.mean(sig)
-    shifts = list(range(0, 48 * 365, 365))
-    return residues_for_shifts(
-        spark, sig, "year", "square", dpy=365, dpd=48, shifts=shifts
+    sig = load_prepared_signal("Consumption", 2012)
+    return residues_for_shifts(spark, sig, "year", "square", dpy=365, dpd=64)
+
+
+def _q_heatmap_scales(spark, sf_dir):
+    """A9 — heatmap pre-pivot: each of the 15 scales reconstructed
+    separately, pivoted wide (reference wavelet_decomposition.py:325-358,
+    notebook cells 21->23 — which densify the 4.38 GB matrix; here 15
+    sparse matvecs per group). Self-verifying: tests assert the per-scale
+    signals sum to the full reconstruction (linearity)."""
+    _prep(spark)
+    from wavelet_decomposition_spark.io import reference_data as rd
+    from wavelet_decomposition_spark.io.electricity import electricity_df
+    from wavelet_decomposition_spark.operators import decompose as dec
+    from wavelet_decomposition_spark.operators import series as ser
+    from wavelet_decomposition_spark.operators.resample import resample_per_year
+    from wavelet_decomposition_spark.operators.spectrum import (
+        heatmap_pivot,
+        per_scale_reconstruction,
+    )
+
+    df = electricity_df(spark, signals=["Consumption"], years=[2013])
+    df = ser.leap_trim(df, 48 * 365)
+    df = ser.normalize_yearly_mean(df)
+    df = resample_per_year(df, 48, 64, 365)
+    trans = rd.load_translations("square")
+    bc = dec.broadcast_dictionaries(spark, "square", {2013: trans[1]})
+    betas = dec.decompose(df, bc)
+    return heatmap_pivot(per_scale_reconstruction(betas, bc))
+
+
+def _q_reconstruction_relational(spark, sf_dir):
+    """J3 — reconstruction as broadcast join + hash aggregation over the
+    dictionary-as-a-table (the pure-relational alternative to the
+    broadcast-matvec UDF; equivalence pinned in tests/test_decompose_spark).
+    Self-verifying: ``invariant_ok`` carries the relative reconstruction
+    error vs the input signal (< 1e-2 for the damped-LSQR fit) — a garbage
+    join/agg cannot satisfy it."""
+    _prep(spark)
+    from wavelet_decomposition_spark.io import reference_data as rd
+    from wavelet_decomposition_spark.io.electricity import electricity_df
+    from wavelet_decomposition_spark.operators import decompose as dec
+    from wavelet_decomposition_spark.operators import series as ser
+    from wavelet_decomposition_spark.operators.resample import resample_per_year
+
+    df = electricity_df(spark, signals=["Consumption"], years=[2013])
+    df = ser.leap_trim(df, 48 * 365)
+    df = ser.normalize_yearly_mean(df)
+    df = resample_per_year(df, 48, 64, 365)
+    trans = rd.load_translations("square")
+    bc = dec.broadcast_dictionaries(spark, "square", {2013: trans[1]})
+    betas = dec.decompose(df, bc)
+    support = dec.support_table(spark, bc)
+    recon = dec.reconstruct_relational(betas, support, add_offset=True)
+    joined = recon.join(
+        df.withColumnRenamed("value", "signal"), ["series_id", "year", "idx"]
+    )
+    err = joined.agg(
+        (
+            F.sum(F.pow(F.col("value") - F.col("signal"), 2))
+            / F.sum(F.pow("signal", 2))
+        ).alias("_rel_err")
+    )
+    return joined.crossJoin(F.broadcast(err)).select(
+        "series_id", "year", "idx", "value",
+        (F.col("_rel_err") < 1e-2).alias("invariant_ok"),
     )
 
 
@@ -539,12 +603,22 @@ def _q_text_invariant(spark, sf_dir):
     )
 
 def _q_transcript_rollup_1m(spark, sf_dir):
+    """Self-verifying rows-only check: every row carries ``invariant_ok`` =
+    (sum of tier turns == raw turn count) — the rollup cannot pass the
+    driver's rows-only gate on garbage values."""
     _prep(spark)
     from wavelet_decomposition_spark.io.transcripts import transcripts_df
     from wavelet_decomposition_spark.operators import activity, rollup
 
     tx = transcripts_df(spark, 200, seed=42)
-    return rollup.rollup_once(activity.activity_raw(tx), "1m")
+    tier = rollup.rollup_once(activity.activity_raw(tx), "1m")
+    totals = tier.agg(F.sum("turns").alias("_tier_turns")).crossJoin(
+        F.broadcast(tx.agg(F.count(F.lit(1)).alias("_raw_turns")))
+    )
+    return tier.crossJoin(F.broadcast(totals)).select(
+        tier["*"],
+        (F.col("_tier_turns") == F.col("_raw_turns")).alias("invariant_ok"),
+    )
 
 
 def _q_dwt_energy(spark, sf_dir):
@@ -561,9 +635,24 @@ def _q_dwt_energy(spark, sf_dir):
     tier = rollup.rollup_once(activity.activity_raw(tx), "1m")
     filled = gapfill.gapfill_zero(
         tier, activity.ACTIVITY_COUNT_COLS, step="1 minute"
-    )
+    ).cache()
     coefs = wavelet_ops.dwt_windows(filled, "turns", "db4", levels=4, window_len=64)
-    return wavelet_ops.energy_spectrum(coefs)
+    spectrum = wavelet_ops.energy_spectrum(coefs)
+    # Parseval self-check: db4 is orthonormal, so total coefficient energy
+    # == input energy (zero-padding adds none) — rows-only gate can't pass
+    # on garbage coefficients
+    checks = spectrum.agg(F.sum("energy").alias("_coef_e")).crossJoin(
+        F.broadcast(
+            filled.agg(F.sum(F.col("turns") * F.col("turns")).alias("_in_e"))
+        )
+    )
+    return spectrum.crossJoin(F.broadcast(checks)).select(
+        spectrum["*"],
+        (
+            F.abs(F.col("_coef_e") - F.col("_in_e"))
+            <= 1e-6 * F.greatest(F.col("_in_e"), F.lit(1.0))
+        ).alias("parseval_ok"),
+    )
 
 
 def _q_gorilla_blocks(spark, sf_dir):
@@ -575,6 +664,20 @@ def _q_gorilla_blocks(spark, sf_dir):
     tier = rollup.rollup_once(activity.activity_raw(tx), "1m")
     blocks = compress.encode_blocks(tier, activity.ACTIVITY_COUNT_COLS)
     return compress.compression_report(blocks, activity.ACTIVITY_COUNT_COLS)
+
+
+def _q_ngram_jaccard_bounded(spark, sf_dir):
+    """The 100-TB Jaccard path: exact similarity computed ONLY on
+    MinHash-LSH candidates (no shingle self-join). The unbounded exact
+    self-join (``ngram_jaccard``, oracle-checked above) is its pytest
+    oracle; this variant is what a real pipeline runs."""
+    _prep(spark)
+    from wavelet_decomposition_spark.operators.dedup import (
+        ngram_jaccard_pairs_bounded,
+    )
+
+    pairs = ngram_jaccard_pairs_bounded(_docs(spark, sf_dir), threshold=0.1)
+    return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
 def _q_minhash_pairs(spark, sf_dir):
@@ -640,6 +743,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rows-only (no SQL oracle):
         "fft_spectrum": _q_fft_spectrum,
         "reconstruction_roundtrip": _q_reconstruction_roundtrip,
+        "reconstruction_relational": _q_reconstruction_relational,
+        "heatmap_scales": _q_heatmap_scales,
         "translation_search": _q_translation_search,
         "multimodal_plan": _q_multimodal_plan,
         "lsh_ann_topk": _q_lsh_ann_topk,
@@ -647,6 +752,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transcript_rollup_1m": _q_transcript_rollup_1m,
         "dwt_energy": _q_dwt_energy,
         "gorilla_blocks": _q_gorilla_blocks,
+        "ngram_jaccard_bounded": _q_ngram_jaccard_bounded,
         "minhash_pairs": _q_minhash_pairs,
         "simhash_near": _q_simhash_near,
         "wavelet_betas_golden": _q_wavelet_betas_golden,
@@ -915,11 +1021,13 @@ def oracle_sql() -> dict[str, str]:
             FROM ratios
         """,
         "conversation_stats_skew": """
+            -- DuckDB sum(BIGINT) returns HUGEINT (-> pandas float64); the
+            -- Spark side returns int64. Cast so the dtypes agree too.
             SELECT event_type AS conv_id,
                    count(*) AS n_turns,
-                   sum(length(props)) AS n_chars,
-                   sum(CASE WHEN value > 0.5 THEN 1 ELSE 0 END)
-                       AS n_tool_calls,
+                   CAST(sum(length(props)) AS BIGINT) AS n_chars,
+                   CAST(sum(CASE WHEN value > 0.5 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_tool_calls,
                    min(ts) AS first_ts,
                    max(ts) AS last_ts
             FROM events GROUP BY 1

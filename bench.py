@@ -10,7 +10,8 @@ The flagship measurement is the north-star pipeline: synthetic transcripts
 (scaled with sf) -> 1s activity tier -> 1m/1h/1d rollups -> gap-fill ->
 Haar+db4 DWT energy spectra -> Gorilla/delta-of-delta block encode. Its
 throughput is reported as turns/sec. Scaling-efficiency evidence (same job
-at local[8] vs local[32]) lives in tools/scaling_bench.py -> BENCH.md.
+at local[4] vs local[16], the N->4N pair inside this VM's physical-core
+budget) lives in tools/scaling_bench.py -> BENCH.md.
 """
 
 from __future__ import annotations
@@ -131,7 +132,8 @@ def main():
     bench_queries = [
         "activity_1m", "rollup_1h", "gapfill_locf", "epn_thresholds",
         "pricing_summary", "nation_revenue", "dedup_groups", "ngram_jaccard",
-        "doc_stats", "ann_topk", "minhash_pairs", "simhash_near",
+        "ngram_jaccard_bounded", "doc_stats", "ann_topk", "minhash_pairs",
+        "simhash_near", "gorilla_blocks", "translation_search",
     ]
     qs = entrymod.queries()
     for name in bench_queries:

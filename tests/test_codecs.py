@@ -68,3 +68,50 @@ def test_deltadelta_compresses_regular_grid():
 def test_deltadelta_roundtrip_property(vals):
     ts = np.asarray(vals, dtype=np.int64)
     assert np.array_equal(deltadelta.decode(deltadelta.encode(ts)), ts)
+
+
+# --- cross-block batch codecs (encode_many/decode_many): must be
+# byte-identical to the per-block codec, block by block ---------------------
+
+_block_floats = st.lists(
+    st.floats(allow_nan=True, allow_infinity=True), max_size=60
+)
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(_block_floats, max_size=10))
+def test_gorilla_many_matches_per_block(blocks):
+    arrs = [np.asarray(b, dtype=np.float64) for b in blocks]
+    bounds = np.concatenate(([0], np.cumsum([a.size for a in arrs]))).astype(
+        np.int64
+    )
+    concat = (
+        np.concatenate(arrs) if arrs else np.zeros(0, dtype=np.float64)
+    )
+    many = gorilla.encode_many(concat, bounds)
+    assert many == [gorilla.encode(a) for a in arrs]
+    dec, db = gorilla.decode_many(many)
+    assert np.array_equal(db, bounds)
+    assert _bits_equal(dec, concat)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.lists(
+        st.lists(
+            st.integers(min_value=-(2**62), max_value=2**62), max_size=60
+        ),
+        max_size=10,
+    )
+)
+def test_deltadelta_many_matches_per_block(blocks):
+    arrs = [np.asarray(b, dtype=np.int64) for b in blocks]
+    bounds = np.concatenate(([0], np.cumsum([a.size for a in arrs]))).astype(
+        np.int64
+    )
+    concat = np.concatenate(arrs) if arrs else np.zeros(0, dtype=np.int64)
+    many = deltadelta.encode_many(concat, bounds)
+    assert many == [deltadelta.encode(a) for a in arrs]
+    dec, db = deltadelta.decode_many(many)
+    assert np.array_equal(db, bounds)
+    assert np.array_equal(dec, concat)

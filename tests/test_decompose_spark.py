@@ -60,6 +60,26 @@ def test_spark_reconstruction_roundtrip(spark, betas_2013):
     assert joined.rmse / joined.norm < 1e-2
 
 
+def test_relational_reconstruction_matches_matvec(spark, betas_2013):
+    """J3 (join + hash-agg over the dictionary-as-a-table) reproduces the
+    broadcast-matvec reconstruction to float64 tolerance — full band and a
+    band-passed slice (day scales + offset)."""
+    betas, bc = betas_2013
+    support = dec.support_table(spark, bc)
+    for keep in (None, list(range(6)) + [15]):
+        matvec = dec.reconstruct(betas, bc, keep_scales=keep).withColumnRenamed(
+            "value", "v_udf"
+        )
+        rel = dec.reconstruct_relational(betas, support, keep_scales=keep)
+        joined = matvec.join(rel, ["series_id", "year", "idx"], "full_outer")
+        bad = joined.filter(
+            F.col("value").isNull()
+            | F.col("v_udf").isNull()
+            | (F.abs(F.col("value") - F.col("v_udf")) > 1e-9)
+        ).count()
+        assert bad == 0, f"keep_scales={keep}"
+
+
 def test_mask_scales_zeroes_unselected(spark, betas_2013):
     betas, _ = betas_2013
     masked = ser.mask_scales(betas, [5])  # keep only the 24 h scale

@@ -58,6 +58,19 @@ def test_minhash_lsh_recall_vs_exact(spark, docs):
     assert recall >= 0.9, f"LSH recall too low: {recall}"
 
 
+def test_bounded_jaccard_matches_exact(spark, docs):
+    """The LSH-candidate-bounded scale path must reproduce the exact
+    self-join's pairs AND values at the operating threshold (0.8): LSH only
+    affects recall, and 16x4 banding recall at j>=0.8 is ~1 - (1-0.8^4)^16
+    ~ 0.9996 — any miss on this tiny fixture is a bug, not noise."""
+    exact = dedup.ngram_jaccard_pairs(docs, threshold=0.8).toPandas()
+    bounded = dedup.ngram_jaccard_pairs_bounded(docs, threshold=0.8).toPandas()
+    want = {(a, b): round(j, 9) for a, b, j in exact.itertuples(index=False)}
+    got = {(a, b): round(j, 9) for a, b, j in bounded.itertuples(index=False)}
+    assert want, "fixture should contain high-jaccard pairs"
+    assert got == want
+
+
 def test_simhash_near_pairs(spark, docs):
     sh = dedup.simhash(docs).cache()
     assert sh.count() == docs.count()

@@ -26,6 +26,20 @@ def test_sine_dictionary_vs_golden_2012():
     np.testing.assert_allclose(A.data, G.data, rtol=3e-16, atol=0)
 
 
+def test_square_no_trans_dictionary_exact_vs_golden_2012():
+    """The reference also ships untranslated dictionaries
+    (saved_matrix/square_shape/no_trans/A_*.npz); trans=[0,0,0] must
+    reproduce them column-exact."""
+    A = wl.generate_dictionary("square", [0, 0, 0])
+    G = rd.load_npz_csr(
+        f"{rd.REFERENCE_ROOT}/saved_matrix/square_shape/no_trans/A_2012.npz"
+    )
+    assert A.shape == G.shape == (23360, 23423)
+    assert np.array_equal(A.indptr, G.indptr)
+    assert np.array_equal(A.indices, G.indices)
+    assert np.array_equal(A.data, G.data)
+
+
 @pytest.mark.slow
 @pytest.mark.parametrize("shape", ["square", "sine"])
 def test_dictionary_all_years(shape):

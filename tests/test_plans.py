@@ -4,9 +4,16 @@ map-side partial aggregation, single-shuffle UDF stages) asserted against
 ``explain`` output so they cannot silently regress.
 """
 
+import os
+
 import pytest
 
-SF_DIR = "/root/testdata/sf0.01"
+SF_DIR = os.environ.get("SPARK_GRAFT_SF001_DIR", "/root/testdata/sf0.01")
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(SF_DIR),
+    reason=f"driver testdata not present at {SF_DIR}",
+)
 
 
 def _plan(df, mode: str = "formatted") -> str:

@@ -43,6 +43,63 @@ def test_translation_search_matches_numpy_bruteforce(spark):
     assert got == best
 
 
+def test_full_translation_sweep_matches_golden_2012(spark):
+    """A11 end-to-end at FULL width: all 23,360 circular shifts for each
+    family, distributed, vs the golden pickle
+    trans_square_12_18.p[0] == [87, 5974, 19225]
+    (/root/reference/calc_translations.py:121-144).
+
+    Two of the three argmins are degenerate in exact arithmetic, so parity
+    is asserted modulo the family's symmetry group (verified numerically:
+    the tied residues agree to ~1e-13 relative):
+
+    - day: the 365-day mother set is invariant under 64-point circular
+      shifts, so residue(d) depends only on d mod 64 — the golden 87 is one
+      member of an orbit of exact ties, picked by scipy's last-ulp noise.
+    - year: translating by N/2 sign-flips the square year wavelet; LSQR
+      negates beta and the residue is identical, so the argmin is defined
+      mod N/2 = 11,680 (golden 19225 ≡ 7545).
+    - week: 52 mothers cover only 364 of 365 days (no tiling symmetry), the
+      argmin is unique — must match the golden 5974 exactly.
+    """
+    sig = rd.load_prepared_signal("Consumption", 2012)
+    n = sig.size
+    assert n == 23360
+    golden_day, golden_week, golden_year = rd.load_translations("square")[0]
+
+    res = {}
+    for fam in ("day", "week", "year"):
+        pdf = (
+            translation.residues_for_shifts(
+                spark, sig, fam, "square", dpy=365, dpd=64
+            )
+            .toPandas()
+            .sort_values("shift")
+        )
+        assert len(pdf) == n
+        res[fam] = pdf["residue"].to_numpy()
+
+    base = float(np.dot(sig, sig))
+
+    def argmin(r):
+        masked = np.where(r < base, r, np.inf)
+        return int(np.argmin(masked))
+
+    assert argmin(res["week"]) == golden_week
+
+    d = argmin(res["day"])
+    assert d % 64 == golden_day % 64
+    np.testing.assert_allclose(
+        res["day"][d], res["day"][golden_day], rtol=1e-9
+    )
+
+    y = argmin(res["year"])
+    assert y % (n // 2) == golden_year % (n // 2)
+    np.testing.assert_allclose(
+        res["year"][y], res["year"][golden_year], rtol=1e-9
+    )
+
+
 def test_fft_spectrum_matches_numpy(spark):
     rng = np.random.default_rng(12)
     y = rng.normal(size=256)

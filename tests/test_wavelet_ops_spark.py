@@ -124,3 +124,36 @@ def test_sparse_fill_fusion_matches_explicit_gapfill(spark):
     np.testing.assert_allclose(
         e_got["energy"].to_numpy(), e_want["energy"].to_numpy(), rtol=1e-9
     )
+
+
+def test_sparse_fill_rejects_offgrid_timestamps(spark):
+    """Sparse mode must ERROR on off-grid input, not silently floor-divide
+    rows into the wrong window cell."""
+    import pytest
+
+    df = spark.createDataFrame(
+        [("c", "2024-01-01 00:00:00", 1.0), ("c", "2024-01-01 00:01:30", 2.0)],
+        "conv_id string, bucket_ts string, turns double",
+    ).withColumn("bucket_ts", F.col("bucket_ts").cast("timestamp"))
+    out = wavelet_ops.dwt_windows(
+        df, "turns", wavelet="haar", levels=2, window_len=8,
+        sparse_fill_step="1 minute",
+    )
+    with pytest.raises(Exception, match="not aligned"):
+        out.collect()
+
+
+def test_sparse_fill_rejects_duplicate_grid_rows(spark):
+    import pytest
+
+    df = spark.createDataFrame(
+        [("c", "2024-01-01 00:00:00", 1.0), ("c", "2024-01-01 00:00:00", 2.0),
+         ("c", "2024-01-01 00:01:00", 3.0)],
+        "conv_id string, bucket_ts string, turns double",
+    ).withColumn("bucket_ts", F.col("bucket_ts").cast("timestamp"))
+    out = wavelet_ops.dwt_windows(
+        df, "turns", wavelet="haar", levels=2, window_len=8,
+        sparse_fill_step="1 minute",
+    )
+    with pytest.raises(Exception, match="duplicate"):
+        out.collect()

@@ -21,6 +21,14 @@ TABLES = [
 ]
 
 
+def dtype_kinds(df: pd.DataFrame) -> list[str]:
+    """Per-column dtype kind, sorted by column name. The driver's hash
+    canonicalization distinguishes int64 from float64 (DuckDB sum(BIGINT)
+    -> HUGEINT -> float64 burned round 1); Python hash(17825) ==
+    hash(17825.0) would hide that, so kinds are compared explicitly."""
+    return [df[c].dtype.kind for c in sorted(df.columns)]
+
+
 def value_hash(df: pd.DataFrame) -> int:
     df = df[sorted(df.columns)].copy()
     for c in df.columns:
@@ -79,8 +87,13 @@ def main():
             problems.append(f"rows {len(sdf)} vs {len(odf)}")
         if sorted(sdf.columns) != sorted(odf.columns):
             problems.append(f"cols {sorted(sdf.columns)} vs {sorted(odf.columns)}")
-        elif value_hash(sdf) != value_hash(odf):
-            problems.append("value hash mismatch")
+        else:
+            if dtype_kinds(sdf) != dtype_kinds(odf):
+                problems.append(
+                    f"dtype kinds {dtype_kinds(sdf)} vs {dtype_kinds(odf)}"
+                )
+            if value_hash(sdf) != value_hash(odf):
+                problems.append("value hash mismatch")
         if problems:
             failures.append((name, "; ".join(problems)))
             print(f"FAIL  {name}: {'; '.join(problems)} ({el:.1f}s)")

@@ -3,14 +3,15 @@
 efficiency >= 0.8 between them".
 
 The sandbox has no real cluster, so — per the driver's instruction — the
-same job is run at two parallelism levels (local[8] vs local[32]) on the
+same job is run at two parallelism levels (default local[4] vs local[16];
+see BASELINE.md for why the pair sits inside the physical-core budget) on the
 SAME stored input, and we report throughput at both plus
 
     efficiency = (throughput_hi / throughput_lo) / (cores_hi / cores_lo)
 
 Protocol notes (all deliberate):
 - Each measurement runs in its own subprocess (a JVM's master is fixed at
-  startup, so local[8] and local[32] cannot share one SparkSession).
+  startup, so the two parallelism levels cannot share one SparkSession).
 - The flagship runs twice per subprocess and the SECOND (warm) run is the
   measurement: a production rollup pipeline is long-running, so steady
   state (python workers spawned, code JIT'd, input in page cache) is the
@@ -184,8 +185,9 @@ def main() -> None:
             "counts on this VM — the ceiling any engine can reach here "
             "(the 32 vCPUs share fewer effective cores under full load: "
             "SMT/host contention). The engine achieves "
-            f"**{min(efficiency / ceiling, 1.0):.2f}x of the hardware "
-            "ceiling**.\n\n"
+            f"**{efficiency / ceiling:.2f}x of the hardware ceiling** "
+            "(same raw ratio as `efficiency_vs_hardware_ceiling` in the "
+            "JSON below; values above 1.0 are measurement noise).\n\n"
             "Why warm steady state: a production rollup pipeline is "
             "long-running; the second in-session run (python workers "
             "spawned, JIT'd, input page-cached) is the operating point the "

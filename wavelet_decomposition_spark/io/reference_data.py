@@ -46,6 +46,26 @@ def load_translations(shape: str, root: str = REFERENCE_ROOT) -> list[list[int]]
     return out
 
 
+def load_prepared_signal(
+    signal: str,
+    year: int,
+    dpd: int = 48,
+    ndpd: int = 64,
+    dpy: int = 365,
+    root: str = REFERENCE_ROOT,
+) -> np.ndarray:
+    """One year of input prepared exactly as the reference's ingest
+    (/root/reference/import_excel.py:29-57): leap trim to dpd*dpy points,
+    divide by the year mean, np.interp onto the ndpd/day grid. This is the
+    signal the golden translations/betas were computed on."""
+    series, _years = load_input_series(root)
+    raw = series[signal][year][: dpd * dpy]
+    raw = raw / raw.mean()
+    oldx = np.arange(0, dpy, 1.0 / dpd)
+    newx = np.arange(0, dpy, 1.0 / ndpd)
+    return np.interp(newx, oldx, raw)
+
+
 def load_golden_matrix(shape: str, year: int, root: str = REFERENCE_ROOT) -> CSRMatrix:
     sub = "square_shape" if shape == "square" else "sine_shape"
     return load_npz_csr(f"{root}/saved_matrix/{sub}/A_{year}.npz")

@@ -33,7 +33,16 @@ import struct
 
 import numpy as np
 
-from .bitpack import clz64, ctz64, pack_bits, pack_fixed, unpack_bits, unpack_fixed
+from .bitpack import (
+    clz64,
+    ctz64,
+    pack_bits,
+    pack_bits_segmented,
+    pack_fixed,
+    unpack_bits,
+    unpack_bits_segmented,
+    unpack_fixed,
+)
 
 _HEADER = struct.Struct("<Id")
 
@@ -63,6 +72,171 @@ def encode(values: np.ndarray) -> bytes:
     )
     payload = pack_bits(xnz >> trail.astype(np.uint64), mlen)
     return head + control + windows + payload
+
+
+def _prefix_xor(x: np.ndarray) -> np.ndarray:
+    """Inclusive prefix-XOR scan (log-step doubling), in place on a copy."""
+    acc = x.copy()
+    shift = 1
+    while shift < acc.size:
+        acc[shift:] ^= acc[:-shift]
+        shift *= 2
+    return acc
+
+
+def encode_many(values: np.ndarray, bounds: np.ndarray) -> list[bytes]:
+    """Encode many blocks in ONE vectorized pass; byte-identical to calling
+    :func:`encode` per block (property-tested).
+
+    ``bounds`` (len n_blocks+1) slices ``values`` into blocks. All XOR /
+    window / payload math runs over the concatenated array with block
+    boundaries handled by segmented bit-packing; the only per-block Python
+    is header packing + buffer slicing (a few hundred ns per block, vs a
+    full codec call per block before)."""
+    values = np.ascontiguousarray(values, dtype=np.float64)
+    bounds = np.asarray(bounds, dtype=np.int64)
+    u = values.view(np.uint64)
+    ns = np.diff(bounds)
+    n_blk = ns.size
+    if n_blk == 0:
+        return []
+
+    # per-block diffs: element i of block k XORs u[i] ^ u[i-1]; boundary
+    # pairs (first element of each block) are excluded
+    m = np.maximum(ns - 1, 0)  # diffs per block
+    diff_bounds = np.zeros(n_blk + 1, dtype=np.int64)
+    np.cumsum(m, out=diff_bounds[1:])
+    # global indices of the "current" element of each diff
+    idx = np.arange(diff_bounds[-1], dtype=np.int64) + np.repeat(
+        bounds[:-1] + 1 - diff_bounds[:-1], m
+    )
+    xor = u[idx] ^ u[idx - 1]
+    nz = xor != 0
+
+    ctrl_buf, ctrl_off = pack_bits_segmented(
+        nz.astype(np.uint64), np.ones(xor.size, dtype=np.int64), diff_bounds
+    )
+
+    # nonzero diffs per block (cumsum gather — reduceat breaks on empties)
+    csnz = np.zeros(xor.size + 1, dtype=np.int64)
+    np.cumsum(nz, out=csnz[1:])
+    k = csnz[diff_bounds[1:]] - csnz[diff_bounds[:-1]]
+    nz_bounds = np.zeros(n_blk + 1, dtype=np.int64)
+    np.cumsum(k, out=nz_bounds[1:])
+
+    xnz = xor[nz]
+    lead = np.minimum(clz64(xnz), 63)
+    trail = ctz64(xnz)
+    mlen = 64 - lead - trail
+    win_buf, win_off = pack_bits_segmented(
+        (lead.astype(np.uint64) << np.uint64(6)) | (mlen - 1).astype(np.uint64),
+        np.full(xnz.size, 12, dtype=np.int64),
+        nz_bounds,
+    )
+    pay_buf, pay_off = pack_bits_segmented(xnz >> trail.astype(np.uint64), mlen, nz_bounds)
+
+    out: list[bytes] = []
+    for b in range(n_blk):
+        n = int(ns[b])
+        if n == 0:
+            out.append(struct.pack("<I", 0))
+            continue
+        head = _HEADER.pack(n, values[bounds[b]])
+        if n == 1:
+            out.append(head)
+            continue
+        out.append(
+            head
+            + ctrl_buf[ctrl_off[b]:ctrl_off[b + 1]]
+            + win_buf[win_off[b]:win_off[b + 1]]
+            + pay_buf[pay_off[b]:pay_off[b + 1]]
+        )
+    return out
+
+
+def decode_many(bufs) -> tuple[np.ndarray, np.ndarray]:
+    """Decode many blocks in one vectorized pass (inverse of
+    :func:`encode_many` / per-block :func:`encode`). Returns
+    (concatenated values, bounds)."""
+    n_blk = len(bufs)
+    ns = np.empty(n_blk, dtype=np.int64)
+    firsts = np.empty(n_blk, dtype=np.float64)
+    for b, buf in enumerate(bufs):
+        ns[b] = struct.unpack_from("<I", buf, 0)[0]
+        firsts[b] = struct.unpack_from("<d", buf, 4)[0] if ns[b] else 0.0
+    bounds = np.zeros(n_blk + 1, dtype=np.int64)
+    np.cumsum(ns, out=bounds[1:])
+    out = np.empty(int(bounds[-1]), dtype=np.float64)
+    if n_blk == 0 or bounds[-1] == 0:
+        return out, bounds
+    u = out.view(np.uint64)
+    u[bounds[:-1][ns > 0]] = firsts[ns > 0].view(np.uint64)
+
+    m = np.maximum(ns - 1, 0)
+    diff_bounds = np.zeros(n_blk + 1, dtype=np.int64)
+    np.cumsum(m, out=diff_bounds[1:])
+    total_m = int(diff_bounds[-1])
+    if total_m == 0:
+        return out, bounds
+
+    # control sections (per-block byte-aligned single-bit streams)
+    nctrl = (m + 7) // 8
+    ctrl_all = b"".join(
+        buf[_HEADER.size:_HEADER.size + int(nctrl[b])]
+        for b, buf in enumerate(bufs) if m[b]
+    )
+    # segmented unpack wants bounds over the elements actually present
+    present = m > 0
+    pm = m[present]
+    pm_bounds = np.zeros(pm.size + 1, dtype=np.int64)
+    np.cumsum(pm, out=pm_bounds[1:])
+    control = unpack_bits_segmented(
+        ctrl_all, np.ones(total_m, dtype=np.int64), pm_bounds
+    ).astype(bool)
+
+    csnz = np.zeros(total_m + 1, dtype=np.int64)
+    np.cumsum(control, out=csnz[1:])
+    k = csnz[diff_bounds[1:]] - csnz[diff_bounds[:-1]]
+    total_k = int(k.sum())
+
+    nwin = (12 * k + 7) // 8
+    off_win = _HEADER.size + nctrl
+    win_all = b"".join(
+        buf[int(off_win[b]):int(off_win[b] + nwin[b])]
+        for b, buf in enumerate(bufs) if k[b]
+    )
+    kp = k[k > 0]
+    kp_bounds = np.zeros(kp.size + 1, dtype=np.int64)
+    np.cumsum(kp, out=kp_bounds[1:])
+    win = unpack_bits_segmented(
+        win_all, np.full(total_k, 12, dtype=np.int64), kp_bounds
+    )
+    lead = (win >> np.uint64(6)).astype(np.int64)
+    mlen = (win & np.uint64(0x3F)).astype(np.int64) + 1
+    trail = 64 - lead - mlen
+
+    off_pay = off_win + nwin
+    pay_all = b"".join(
+        buf[int(off_pay[b]):] for b, buf in enumerate(bufs) if k[b]
+    )
+    payload = unpack_bits_segmented(pay_all, mlen, kp_bounds)
+    xor_nz = payload << trail.astype(np.uint64)
+
+    xor = np.zeros(total_m, dtype=np.uint64)
+    xor[control] = xor_nz
+    # segmented prefix-XOR: global scan, then cancel everything before each
+    # block start (XOR is its own inverse, so P[i]^P[start-1] is the
+    # within-block prefix)
+    P = _prefix_xor(xor)
+    prev = np.zeros(n_blk, dtype=np.uint64)
+    nz_start = diff_bounds[:-1] > 0
+    prev[nz_start] = P[diff_bounds[:-1][nz_start] - 1]
+    blk_of = np.repeat(np.arange(n_blk), m)
+    pos = np.arange(total_m, dtype=np.int64) + np.repeat(
+        bounds[:-1] + 1 - diff_bounds[:-1], m
+    )
+    u[pos] = firsts.view(np.uint64)[blk_of] ^ P ^ prev[blk_of]
+    return out, bounds
 
 
 def decode(buf: bytes) -> np.ndarray:

@@ -40,23 +40,21 @@ def encode_blocks(
         # one Spark group = one BUCKET of conversations (per-conv UDF calls
         # were the profiled bottleneck); block boundaries fall where the
         # (conv, day) pair changes, so segmentation is one vectorized pass
-        # and only the bit-packing codec runs per block.
+        # and the codecs run ONCE per bucket over the concatenated arrays
+        # (encode_many — per-block Python is header packing + slicing only).
         pdf = pdf.sort_values([group_col, ts_col])
         ts_all = pdf[ts_col].astype("datetime64[us]").to_numpy().view(np.int64)
         convs = pdf[group_col].to_numpy()
         days = pdf[block_col].to_numpy()
-        vals = {c: pdf[c].to_numpy(dtype=np.float64) for c in value_cols}
         change = (convs[1:] != convs[:-1]) | (days[1:] != days[:-1])
         bounds = np.flatnonzero(np.r_[True, change, True])
         out = {group_col: convs[bounds[:-1]], block_col: days[bounds[:-1]],
                "n_points": (bounds[1:] - bounds[:-1]).astype(np.int32),
-               "ts_blob": [], }
+               "ts_blob": deltadelta.encode_many(ts_all, bounds)}
         for c in value_cols:
-            out[f"{c}_blob"] = []
-        for lo, hi in zip(bounds[:-1], bounds[1:]):
-            out["ts_blob"].append(deltadelta.encode(ts_all[lo:hi]))
-            for c in value_cols:
-                out[f"{c}_blob"].append(gorilla.encode(vals[c][lo:hi]))
+            out[f"{c}_blob"] = gorilla.encode_many(
+                pdf[c].to_numpy(dtype=np.float64), bounds
+            )
         return pd.DataFrame(out)
 
     with_day = tier_df.withColumn(block_col, F.to_date(ts_col))
@@ -89,21 +87,17 @@ def decode_blocks(
     )
 
     def _dec(pdf: pd.DataFrame) -> pd.DataFrame:
-        frames = []
-        for _, r in pdf.iterrows():
-            ts = deltadelta.decode(r["ts_blob"])
-            data = {
-                group_col: np.full(ts.size, r[group_col], dtype=object),
-                ts_col: pd.to_datetime(ts, unit="us"),
-            }
-            for c in value_cols:
-                data[c] = gorilla.decode(r[f"{c}_blob"])
-            frames.append(pd.DataFrame(data))
-        return (
-            pd.concat(frames, ignore_index=True)
-            if frames
-            else pd.DataFrame(columns=[group_col, ts_col, *value_cols])
-        )
+        if not len(pdf):
+            return pd.DataFrame(columns=[group_col, ts_col, *value_cols])
+        ts, bounds = deltadelta.decode_many(list(pdf["ts_blob"]))
+        data = {
+            group_col: np.repeat(pdf[group_col].to_numpy(), np.diff(bounds)),
+            ts_col: pd.to_datetime(ts, unit="us"),
+        }
+        for c in value_cols:
+            vals, _ = gorilla.decode_many(list(pdf[f"{c}_blob"]))
+            data[c] = vals
+        return pd.DataFrame(data)
 
     p = blocks.sparkSession.sparkContext.defaultParallelism * 2
     bucketed = blocks.withColumn(

@@ -22,6 +22,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..kernel import wavelets as wl
 from ..kernel.lsqr import beta_decomposition
@@ -141,4 +142,67 @@ def reconstruct(
 
     return betas.groupBy("series_id", "year").applyInPandas(
         _recon, schema="series_id string, year int, idx int, value double"
+    )
+
+
+def support_table(spark: SparkSession, bc, years=None) -> DataFrame:
+    """J3 — the wavelet dictionary as a long relational table
+    ``(year, scale_idx, pos, idx, weight)``: one row per CSR nonzero
+    (~373k/year, a few MB — broadcast-able). Built driver-side from the
+    same broadcast payload the UDF path uses, so both reconstruction forms
+    share one dictionary source of truth."""
+    state = bc.value
+    lut_scale, lut_pos = state["scale_idx"], state["pos"]
+    frames = []
+    for year, (data, indices, indptr, shape) in state["matrices"].items():
+        if years is not None and int(year) not in set(int(y) for y in years):
+            continue
+        frames.append(
+            pd.DataFrame(
+                {
+                    "year": np.int32(year),
+                    "scale_idx": lut_scale[indices],
+                    "pos": lut_pos[indices],
+                    "idx": np.repeat(
+                        np.arange(shape[0], dtype=np.int32), np.diff(indptr)
+                    ),
+                    "weight": data,
+                }
+            )
+        )
+    return spark.createDataFrame(pd.concat(frames, ignore_index=True))
+
+
+def reconstruct_relational(
+    betas: DataFrame,
+    support: DataFrame,
+    keep_scales=None,
+    add_offset: bool = True,
+) -> DataFrame:
+    """A8 in its relational form (SURVEY.md J3): ``signal[idx] =
+    sum(beta * weight)`` as a broadcast equi-join on (year, scale_idx, pos)
+    + hash aggregation on (series_id, year, idx) — no Python at all.
+
+    Equivalent to :func:`reconstruct` (float64 tolerance — summation order
+    differs; pinned by tests/test_decompose_spark.py). Prefer this form when
+    betas already live in a table and only a band-passed slice is needed:
+    the scale filter prunes the join input, whereas the UDF form always
+    ships whole coefficient groups. Reference: the np.dot at
+    /root/reference/wavelet_decomposition.py:427.
+
+    Relational semantics caveat: grid positions whose band-passed support is
+    empty produce NO row (the matvec form emits explicit zeros there). With
+    the offset or any year-family scale kept, every position is covered."""
+    b = betas
+    sup = support
+    if keep_scales is not None:
+        sel = [int(s) for s in keep_scales]
+        b = b.filter(F.col("scale_idx").isin(sel))
+        sup = sup.filter(F.col("scale_idx").isin(sel))
+    if not add_offset:
+        b = b.filter(F.col("scale_idx") != 15)
+    return (
+        b.join(F.broadcast(sup), ["year", "scale_idx", "pos"])
+        .groupBy("series_id", "year", "idx")
+        .agg(F.sum(F.col("beta") * F.col("weight")).alias("value"))
     )

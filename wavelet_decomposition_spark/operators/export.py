@@ -11,7 +11,7 @@ The engine's canonical sink is partitioned parquet in long format; the
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -30,9 +30,7 @@ def stacked_betas(betas: DataFrame) -> DataFrame:
     """A5 — all years stacked per scale, ordered (year, pos) like the
     reference's stacked workbook (wavelet_decomposition.py:302-319):
     (series_id, scale_idx, stack_pos, beta)."""
-    w = __import__("pyspark.sql.window", fromlist=["Window"]).Window.partitionBy(
-        "series_id", "scale_idx"
-    ).orderBy("year", "pos")
+    w = Window.partitionBy("series_id", "scale_idx").orderBy("year", "pos")
     return betas.select(
         "series_id",
         "scale_idx",

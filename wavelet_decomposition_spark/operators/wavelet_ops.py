@@ -43,7 +43,19 @@ def _positions(pdf, codes, counts, starts, ts_col, step_us, window_len):
         nwin = np.maximum(1, -(-counts // window_len))
     else:
         ts = pdf[ts_col].to_numpy(dtype="datetime64[us]").view(np.int64)
-        pos = (ts - ts[starts][codes]) // step_us
+        delta = ts - ts[starts][codes]
+        if (delta % step_us).any():
+            raise ValueError(
+                "sparse_fill_step: input timestamps are not aligned to the "
+                "fill grid — off-grid rows would silently collide into the "
+                "wrong window cell"
+            )
+        pos = delta // step_us
+        if ((codes[1:] == codes[:-1]) & (pos[1:] <= pos[:-1])).any():
+            raise ValueError(
+                "sparse_fill_step: duplicate (group, ts) rows — aggregate "
+                "to the grid step before the pyramid stage"
+            )
         last = pos[starts + counts - 1]
         nwin = np.maximum(1, -(-(last + 1) // window_len))
     return pos, nwin

@@ -15,6 +15,22 @@ import zipfile
 from pyspark.sql import SparkSession
 
 
+def _default_driver_mem() -> str:
+    """Local mode hosts all task threads in one JVM, so a large heap helps —
+    but only up to what the machine has. Default: ~40% of MemTotal, clamped
+    to [2g, 48g]; override with WDS_DRIVER_MEM."""
+    env = os.environ.get("WDS_DRIVER_MEM")
+    if env:
+        return env
+    try:
+        with open("/proc/meminfo") as f:
+            kb = int(next(ln for ln in f if ln.startswith("MemTotal")).split()[1])
+        gib = max(2, min(48, int(kb * 0.4 / 1024 / 1024)))
+    except (OSError, StopIteration, ValueError):
+        gib = 8
+    return f"{gib}g"
+
+
 def package_zip() -> str:
     """Zip this package for shipping to executors (the local-mode analogue of
     ``spark-submit --py-files``; required whenever the driver script does not
@@ -67,8 +83,9 @@ def build_session(
         # batches keep the JVM<->Python round trips few
         .config("spark.sql.files.maxPartitionBytes", "134217728")
         # local-mode: the driver JVM hosts all task threads; size the heap
-        # for 32 concurrent tasks' shuffle + Arrow buffers (box has 128 GiB)
-        .config("spark.driver.memory", os.environ.get("WDS_DRIVER_MEM", "48g"))
+        # for the concurrent tasks' shuffle + Arrow buffers, bounded by the
+        # machine's actual RAM (WDS_DRIVER_MEM overrides)
+        .config("spark.driver.memory", _default_driver_mem())
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
     )
