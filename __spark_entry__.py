@@ -395,6 +395,34 @@ def _q_quality_score(spark, sf_dir):
     )
 
 
+def _q_resample_linear(spark, sf_dir):
+    """P4 relational form — 1->4 linear upsample of the per-minute click
+    series (positional grid via row_number; np.interp-equivalence pinned in
+    tests/test_activity_rollup.py)."""
+    _prep(spark)
+    from pyspark.sql import Window
+
+    from wavelet_decomposition_spark.operators.resample import (
+        resample_linear_relational,
+    )
+
+    w = Window.partitionBy("event_type").orderBy("bucket_ts")
+    per_min = (
+        _events(spark, sf_dir)
+        .groupBy(
+            "event_type", F.date_trunc("minute", F.col("ts")).alias("bucket_ts")
+        )
+        .agg(F.avg("value").alias("v"))
+        .select(
+            "event_type", (F.row_number().over(w) - 1).alias("idx"), "v"
+        )
+    )
+    out = resample_linear_relational(per_min, "event_type", "idx", "v", 1, 4)
+    return out.select(
+        "event_type", "idx", F.round("v", 6).alias("v")
+    )
+
+
 def _q_conversation_stats_skew(spark, sf_dir):
     """Salted two-phase aggregation (skew handling for long conversations),
     proven exact against a plain GROUP BY oracle. Events stand in as
@@ -739,6 +767,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_pairs": _q_cosine_pairs,
         "gapfill_locf": _q_gapfill_locf,
         "quality_score": _q_quality_score,
+        "resample_linear": _q_resample_linear,
         "conversation_stats_skew": _q_conversation_stats_skew,
         # rows-only (no SQL oracle):
         "fft_spectrum": _q_fft_spectrum,
@@ -1019,6 +1048,31 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'de' END AS lang_guess,
                    fingerprint
             FROM ratios
+        """,
+        "resample_linear": """
+            WITH per_min AS (
+                SELECT event_type,
+                       row_number() OVER (PARTITION BY event_type
+                                          ORDER BY date_trunc('minute', ts))
+                           - 1 AS idx,
+                       avg(value) AS v
+                FROM events GROUP BY event_type, date_trunc('minute', ts)),
+            sizes AS (SELECT event_type, count(*) AS n FROM per_min GROUP BY 1),
+            grid AS (SELECT event_type, n,
+                            unnest(generate_series(0, n * 4 - 1)) AS j
+                     FROM sizes),
+            pts AS (SELECT event_type, j,
+                           least(CAST(floor(j * 1 / 4.0) AS BIGINT), n - 1)
+                               AS lo,
+                           least(least(CAST(floor(j * 1 / 4.0) AS BIGINT),
+                                       n - 1) + 1, n - 1) AS hi,
+                           j * 1 / 4.0 - floor(j * 1 / 4.0) AS frac
+                    FROM grid)
+            SELECT p.event_type, p.j AS idx,
+                   round(a.v + p.frac * (b.v - a.v), 6) AS v
+            FROM pts p
+            JOIN per_min a ON a.event_type = p.event_type AND a.idx = p.lo
+            JOIN per_min b ON b.event_type = p.event_type AND b.idx = p.hi
         """,
         "conversation_stats_skew": """
             -- DuckDB sum(BIGINT) returns HUGEINT (-> pandas float64); the

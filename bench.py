@@ -115,11 +115,15 @@ def main():
     # the package there costs tens of seconds once per session; a
     # long-running deployment pays it once, so the timings below measure
     # steady state (cold-start cost is reported by tools/scaling_bench.py)
+    from pyspark.sql import functions as F
+
     from wavelet_decomposition_spark.operators import wavelet_ops as _w
 
     _noop(_w.energy_windows(
         spark.read.parquet(tx_path).limit(2000)
-        .selectExpr("conv_id", "ts as bucket_ts", "1.0 as turns"),
+        .selectExpr("conv_id", "date_trunc('minute', ts) as bucket_ts")
+        .groupBy("conv_id", "bucket_ts")
+        .agg(F.count(F.lit(1)).cast("double").alias("turns")),
         "turns", wavelet="haar", levels=2, window_len=16,
         sparse_fill_step="1 minute",
     ))

@@ -71,3 +71,33 @@ def test_gapfill_locf_carries_forward(spark):
     raw = _raw(spark, n=5, seed=11)
     filled = gapfill.gapfill_locf(raw, ["chars"])
     assert filled.filter(F.col("chars").isNull()).count() == 0
+
+
+def test_resample_linear_relational_matches_np_interp(spark):
+    """P4 relational form == np.interp on the reference's positional grids
+    (arange(0,dpy,1/dpd) -> arange(0,dpy,1/ndpd)), including the right-edge
+    clamp (the target grid extends past the last source point)."""
+    import numpy as np
+
+    from wavelet_decomposition_spark.operators.resample import (
+        resample_linear_relational,
+    )
+
+    rng = np.random.default_rng(7)
+    n, dpd, ndpd = 50, 2, 5
+    y = rng.normal(size=n)
+    df = spark.createDataFrame(
+        [("g", int(i), float(v)) for i, v in enumerate(y)],
+        "grp string, idx int, v double",
+    )
+    out = (
+        resample_linear_relational(df, "grp", "idx", "v", dpd, ndpd)
+        .orderBy("idx")
+        .toPandas()
+    )
+    dpy = n / dpd
+    want = np.interp(
+        np.arange(0, dpy, 1.0 / ndpd), np.arange(0, dpy, 1.0 / dpd), y
+    )
+    assert len(out) == want.size
+    np.testing.assert_allclose(out["v"].to_numpy(), want, atol=1e-12)

@@ -42,6 +42,21 @@ def _perm_params(n_perm: int, seed: int = 42):
     return a, b
 
 
+def _spread(df: DataFrame, factor: int = 2) -> DataFrame:
+    """Parallelism floor for the CPU-bound shingle/hash stages.
+
+    Small inputs often arrive as a handful of file splits (the sf fixtures
+    are ONE split), which would run the 64-permutation explode+aggregate in
+    a single task. Repartition up only when the scan is under-split; at
+    real scale the scan already exceeds the floor and this is a no-op (no
+    shuffle added)."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism * factor
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
+
+
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Keep the lowest-id representative per identical (normalized) text."""
     w = Window.partitionBy("fp").orderBy(id_col)
@@ -63,9 +78,14 @@ def exact_dup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
     )
 
 
-def shingle_array(text_col: str, n: int = 3) -> F.Column:
-    """Distinct word n-gram shingles as an array column (JVM expressions)."""
-    words = F.split(normalized(text_col), " ")
+def _gram_array(words: F.Column, n: int) -> F.Column:
+    """Distinct word n-grams from an ALREADY-MATERIALIZED words column.
+
+    ``words`` must be a plain column reference, not the split expression:
+    higher-order functions are interpreted (no common-subexpression
+    elimination), so an inline ``split(normalized(text))`` would re-run the
+    normalize+split over the whole document once per gram — O(len^2) per
+    doc (measured: ~25% of the signature stage even on 50-word docs)."""
     grams = F.transform(
         F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0))),
         lambda i: F.concat_ws(" ", *[F.element_at(words, (i + j + 1).cast("int")) for j in range(n)]),
@@ -73,12 +93,25 @@ def shingle_array(text_col: str, n: int = 3) -> F.Column:
     return F.filter(F.array_distinct(grams), lambda g: F.length(g) > 0)
 
 
+def shingled(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+             n: int = 3, out_col: str = "sh") -> DataFrame:
+    """(id, <out_col> array<string>) — per-doc distinct shingle set, with
+    the words array materialized first (see :func:`_gram_array`)."""
+    return (
+        _spread(df.select(id_col, text_col))
+        .withColumn("_w", F.split(normalized(text_col), " "))
+        .select(
+            F.col(id_col).alias("id"),
+            _gram_array(F.col("_w"), n).alias(out_col),
+        )
+    )
+
+
 def word_shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                   n: int = 3) -> DataFrame:
     """Distinct word n-gram shingles per doc: (id, shingle)."""
-    return df.select(
-        F.col(id_col).alias("id"),
-        F.explode(shingle_array(text_col, n)).alias("shingle"),
+    return shingled(df, text_col, id_col, n).select(
+        "id", F.explode("sh").alias("shingle")
     )
 
 
@@ -143,9 +176,7 @@ def ngram_jaccard_pairs_bounded(
     self-join above is the pytest oracle for this operator."""
     sigs = minhash_signatures(df, text_col, id_col, n, n_perm, seed)
     cand = minhash_lsh_pairs(sigs, bands, rows_per_band)
-    sets = df.select(
-        F.col(id_col).alias("id"), shingle_array(text_col, n).alias("sh")
-    )
+    sets = shingled(df, text_col, id_col, n)
     a = sets.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
     b = sets.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
@@ -174,34 +205,30 @@ def minhash_signatures(
     """(id, sig array<bigint>) — min over shingle hashes of (a*h+b) mod p,
     per permutation.
 
-    Relational formulation: explode shingles once, broadcast the 64-row
-    permutation dim, min-aggregate per (doc, perm) with map-side combine,
-    reassemble the signature array ordered by perm_id. (A single projection
-    with 64 nested array_min(transform(...)) expressions re-evaluates the
-    shingle pipeline per permutation — two orders of magnitude slower.)"""
+    Single-pass formulation: explode shingles once, then ONE hash aggregate
+    with 64 ``min`` buffer columns per doc (the permutation arithmetic is a
+    constant-folded pmod per column). Map-side partial aggregation reduces
+    every input partition to <=64 longs per doc before the one shuffle on
+    ``id``; no 64x row multiplication ever exists. (The rejected
+    alternatives: 64 nested array_min(transform(...)) projections
+    re-evaluate the shingle pipeline per permutation; a broadcast-join with
+    a 64-row perm dim materializes 64x rows into the aggregate.)"""
     a, b = _perm_params(n_perm, seed)
-    spark = df.sparkSession
-    perms = spark.createDataFrame(
-        [(i, int(a[i]), int(b[i])) for i in range(n_perm)],
-        "perm_id int, a long, b long",
-    )
     hashed = word_shingles(df, text_col, id_col, n).select(
         "id", F.pmod(F.xxhash64("shingle"), F.lit(_MERSENNE)).alias("h")
     )
-    mins = (
-        hashed.crossJoin(F.broadcast(perms))
-        .groupBy("id", "perm_id")
-        .agg(
-            F.min(
-                F.pmod(F.col("h") * F.col("a") + F.col("b"), F.lit(_MERSENNE))
-            ).alias("mh")
+    aggs = [
+        F.min(
+            F.pmod(F.col("h") * int(a[i]) + int(b[i]), F.lit(_MERSENNE))
+        ).alias(f"_m{i}")
+        for i in range(n_perm)
+    ]
+    return (
+        hashed.groupBy("id")
+        .agg(*aggs)
+        .select(
+            "id", F.array(*[f"_m{i}" for i in range(n_perm)]).alias("sig")
         )
-    )
-    return mins.groupBy("id").agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("perm_id", "mh"))),
-            lambda x: x["mh"],
-        ).alias("sig")
     )
 
 
@@ -285,7 +312,9 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
     token_hashes = F.transform(
         F.split(normalized(text_col), " "), lambda t: F.xxhash64(t)
     )
-    hashed = df.select(F.col(id_col).alias("id"), token_hashes.alias("h"))
+    hashed = _spread(df.select(id_col, text_col)).select(
+        F.col(id_col).alias("id"), token_hashes.alias("h")
+    )
 
     def _majority(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as _np
