@@ -278,6 +278,15 @@ def _q_dedup_groups(spark, sf_dir):
     )
 
 
+def _q_dedup_keep_first(spark, sf_dir):
+    """Exact dedup survivors (lowest doc_id per normalized-text group) —
+    the operator form of dedup_groups."""
+    _prep(spark)
+    from wavelet_decomposition_spark.operators.dedup import exact_dedup
+
+    return exact_dedup(_docs(spark, sf_dir)).select("doc_id")
+
+
 def _q_ngram_jaccard(spark, sf_dir):
     """Exact word-3-gram Jaccard pairs >= 0.1."""
     _prep(spark)
@@ -683,6 +692,42 @@ def _q_dwt_energy(spark, sf_dir):
     )
 
 
+def _q_modwt_energy(spark, sf_dir):
+    """MODWT (shift-equivariant, undecimated) energy spectrum with the same
+    Parseval self-check as dwt_energy — MODWT's scaled filters conserve
+    energy too (Percival & Walden ch. 5)."""
+    _prep(spark)
+    from wavelet_decomposition_spark.io.transcripts import transcripts_df
+    from wavelet_decomposition_spark.operators import (
+        activity,
+        gapfill,
+        rollup,
+        wavelet_ops,
+    )
+
+    tx = transcripts_df(spark, 100, seed=42)
+    tier = rollup.rollup_once(activity.activity_raw(tx), "1m")
+    filled = gapfill.gapfill_zero(
+        tier, activity.ACTIVITY_COUNT_COLS, step="1 minute"
+    ).cache()
+    spectrum = wavelet_ops.energy_windows(
+        filled, "turns", wavelet="db4", levels=4, window_len=64,
+        transform="modwt",
+    )
+    checks = spectrum.agg(F.sum("energy").alias("_coef_e")).crossJoin(
+        F.broadcast(
+            filled.agg(F.sum(F.col("turns") * F.col("turns")).alias("_in_e"))
+        )
+    )
+    return spectrum.crossJoin(F.broadcast(checks)).select(
+        spectrum["*"],
+        (
+            F.abs(F.col("_coef_e") - F.col("_in_e"))
+            <= 1e-6 * F.greatest(F.col("_in_e"), F.lit(1.0))
+        ).alias("parseval_ok"),
+    )
+
+
 def _q_gorilla_blocks(spark, sf_dir):
     _prep(spark)
     from wavelet_decomposition_spark.io.transcripts import transcripts_df
@@ -760,6 +805,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pricing_summary": _q_pricing_summary,
         "nation_revenue": _q_nation_revenue,
         "dedup_groups": _q_dedup_groups,
+        "dedup_keep_first": _q_dedup_keep_first,
         "ngram_jaccard": _q_ngram_jaccard,
         "doc_stats": _q_doc_stats,
         "lang_marker_hits": _q_lang_marker_hits,
@@ -780,6 +826,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_invariant": _q_text_invariant,
         "transcript_rollup_1m": _q_transcript_rollup_1m,
         "dwt_energy": _q_dwt_energy,
+        "modwt_energy": _q_modwt_energy,
         "gorilla_blocks": _q_gorilla_blocks,
         "ngram_jaccard_bounded": _q_ngram_jaccard_bounded,
         "minhash_pairs": _q_minhash_pairs,
@@ -900,6 +947,14 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_dups,
                    min(doc_id) AS keeper_id
             FROM documents GROUP BY 1
+        """,
+        "dedup_keep_first": f"""
+            SELECT doc_id FROM (
+                SELECT doc_id,
+                       row_number() OVER (PARTITION BY md5({norm})
+                                          ORDER BY doc_id) AS rn
+                FROM documents)
+            WHERE rn = 1
         """,
         "ngram_jaccard": f"""
             WITH docs AS (SELECT doc_id, string_split({norm}, ' ') AS w

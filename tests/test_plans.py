@@ -53,6 +53,25 @@ def test_rollup_partial_aggregation(spark, queries):
     assert "props" not in read and "user_id" not in read
 
 
+def test_shingle_pipeline_no_inferred_filter(spark):
+    """Exploding the gram array through a NAMED column lets Catalyst's
+    InferFiltersFromGenerate push a size()>0 predicate below the
+    repartition with the words alias substituted back to an inline
+    split(normalized(text)) per lambda element — O(len^2) per doc in the
+    scan task (measured 4x the signature stage). Pin the filter-free
+    shape."""
+    from wavelet_decomposition_spark.operators import dedup
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = (
+        dedup.word_shingles(docs)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    assert "Filter" not in plan
+
+
 def test_wavelet_stage_single_shuffle(spark):
     """The pyramid stage adds exactly one exchange (the bucket repartition);
     the groupBy reuses that clustering instead of shuffling again."""

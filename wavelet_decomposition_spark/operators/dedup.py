@@ -109,9 +109,23 @@ def shingled(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
 
 def word_shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                   n: int = 3) -> DataFrame:
-    """Distinct word n-gram shingles per doc: (id, shingle)."""
-    return shingled(df, text_col, id_col, n).select(
-        "id", F.explode("sh").alias("shingle")
+    """Distinct word n-gram shingles per doc: (id, shingle).
+
+    The gram array is exploded INLINE rather than through a named column:
+    ``explode(attribute)`` triggers Catalyst's InferFiltersFromGenerate,
+    which rewrites ``size(sh) > 0`` with the alias substituted away — the
+    words array collapses back to an inline ``split(normalized(text))``
+    evaluated per lambda element inside the inferred filter, and that
+    O(len^2)-per-doc predicate is pushed below the repartition into the
+    scan task (measured: 4x the entire signature stage). Exploding the
+    complex expression directly blocks the inference (the rule only fires
+    on attribute children)."""
+    base = _spread(df.select(id_col, text_col)).withColumn(
+        "_w", F.split(normalized(text_col), " ")
+    )
+    return base.select(
+        F.col(id_col).alias("id"),
+        F.explode(_gram_array(F.col("_w"), n)).alias("shingle"),
     )
 
 
