@@ -38,9 +38,11 @@ def materialize_transcripts(spark, n_convs: int) -> str:
     from wavelet_decomposition_spark.io.transcripts import transcripts_df
 
     path = f"{tempfile.gettempdir()}/wds_bench_tx_{n_convs}"
-    # 64 input splits regardless of the generating session's core count, so
-    # every parallelism level under test sees the same well-split scan
-    transcripts_df(spark, n_convs, seed=42, partitions=64).write.mode(
+    # fixed split count regardless of the generating session's core count,
+    # so every parallelism level under test sees the same well-split scan;
+    # grows with input so per-task generation stays bounded
+    parts = max(64, n_convs // 15_000)
+    transcripts_df(spark, n_convs, seed=42, partitions=parts).write.mode(
         "overwrite"
     ).parquet(path)
     return path
@@ -77,9 +79,10 @@ def flagship_pipeline(spark, tx_path: str):
     _noop(tier_1h)
     _noop(rollup.rollup_once(tier_1h, "1d"))
     for wavelet in ("haar", "db4"):
-        # both north-star products: the per-coefficient table and the
-        # per-scale energy spectrum
-        _noop(wavelet_ops.dwt_windows(
+        # both north-star products: the coefficient table (stored in the
+        # band-packed array<double> form — the long per-coefficient view is
+        # a JVM-side posexplode away) and the per-scale energy spectrum
+        _noop(wavelet_ops.dwt_window_bands(
             tier_1m, "turns", wavelet=wavelet, levels=5, window_len=128,
             sparse_fill_step="1 minute",
         ))

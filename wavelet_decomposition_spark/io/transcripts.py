@@ -149,10 +149,18 @@ def transcripts_df(
         partitions = max(8, spark.sparkContext.defaultParallelism)
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # yield in bounded conv chunks: one partition can carry tens of
+        # thousands of conv ids, and a single ~50x-larger output frame per
+        # partition held 32 workers x O(GB) at once (observed global OOM at
+        # 3M convs / 64 partitions)
+        chunk = 4096
         for pdf in batches:
             conv = pdf["id"].to_numpy(dtype=np.int64)
-            if conv.size:
-                yield _gen_batch(conv, seed, mean_turns, max_turns, span_seconds)
+            for lo in range(0, conv.size, chunk):
+                yield _gen_batch(
+                    conv[lo:lo + chunk], seed, mean_turns, max_turns,
+                    span_seconds,
+                )
 
     return (
         spark.range(0, n_convs, numPartitions=partitions)

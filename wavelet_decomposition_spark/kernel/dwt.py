@@ -89,16 +89,29 @@ def dwt_batch(X: np.ndarray, wavelet: str, levels: int):
     ``(B, N/2^(j+1))`` and ``approx`` ``(B, N/2^levels)``."""
     A = np.ascontiguousarray(X, dtype=np.float64)
     h, g = filters(wavelet)
+    taps = h.size
     details = []
     for _ in range(levels):
         n = A.shape[1]
         if n % 2:
             raise ValueError("signal length must be divisible by 2**levels")
-        k = np.arange(n // 2)
-        idx = (2 * k[:, None] + np.arange(h.size)[None, :]) % n
-        gathered = A[:, idx]  # (B, n/2, taps)
-        details.append(gathered @ g)
-        A = gathered @ h
+        # periodized conv as `taps` strided slice-axpys over a wrap-padded
+        # copy — no (B, n/2, taps) gather temp, no per-window gufunc calls
+        # (the gather form dominated the pyramid UDF's profile)
+        if taps > 2:
+            reps = 1 + -(-(taps - 2) // n)
+            Ap = np.concatenate([A] * reps, axis=1)[:, : n + taps - 2]
+        else:
+            Ap = A
+        seg = Ap[:, 0 : n - 1 : 2]
+        D = g[0] * seg
+        S = h[0] * seg
+        for m in range(1, taps):
+            seg = Ap[:, m : m + n - 1 : 2]
+            D += g[m] * seg
+            S += h[m] * seg
+        details.append(D)
+        A = S
     return details, A
 
 
@@ -136,14 +149,20 @@ def modwt_batch(X: np.ndarray, wavelet: str, levels: int):
     h, g = filters(wavelet)
     ht, gt = h / SQRT2, g / SQRT2
     n = V.shape[1]
-    t = np.arange(n)
     W = []
     for j in range(1, levels + 1):
         step = 2 ** (j - 1)
-        idx = (t[:, None] - step * np.arange(h.size)[None, :]) % n
-        gathered = V[:, idx]  # (B, N, taps)
-        W.append(gathered @ gt)
-        V = gathered @ ht
+        # circular shifts as slices of [V | V] — no (B, N, taps) gather temp
+        Vp = np.concatenate([V, V], axis=1)
+        Wj = gt[0] * V
+        Vn = ht[0] * V
+        for m in range(1, h.size):
+            s = (step * m) % n
+            seg = Vp[:, n - s : 2 * n - s]
+            Wj += gt[m] * seg
+            Vn += ht[m] * seg
+        W.append(Wj)
+        V = Vn
     return W, V
 
 

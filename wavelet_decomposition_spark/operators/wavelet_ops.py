@@ -30,6 +30,13 @@ COEF_SCHEMA = (
     "coef_type string, coef double"
 )
 
+# compact band form: one row per (conversation, window, band), coefficients
+# packed as array<double> — what the Python stage emits (see dwt_windows)
+BAND_SCHEMA = (
+    "conv_id string, window_id int, wavelet string, level int, "
+    "coef_type string, coefs array<double>"
+)
+
 
 def _positions(pdf, codes, counts, starts, ts_col, step_us, window_len):
     """(grid position per row, windows per conversation).
@@ -61,7 +68,7 @@ def _positions(pdf, codes, counts, starts, ts_col, step_us, window_len):
     return pos, nwin
 
 
-def dwt_windows(
+def dwt_window_bands(
     filled: DataFrame,
     value_col: str,
     wavelet: str = "haar",
@@ -123,29 +130,28 @@ def dwt_windows(
         win_conv = np.asarray(uniques, dtype=object)[win_code]
         win_id = (np.arange(total_win) - win_base[win_code]).astype(np.int32)
 
-        out_conv, out_win, out_level, out_k, out_type, out_coef = (
-            [], [], [], [], [], []
-        )
-        for lvl, C, ctype in [
-            *((j + 1, d, "detail") for j, d in enumerate(details)),
+        # one output row per (window, band): the per-coefficient long rows
+        # (window_len rows per window, conv_id string repeated for each) made
+        # the Arrow exchange and the workers' allocation churn the dominant
+        # cost at scale — the k-explosion now happens JVM-side (dwt_windows)
+        bands = [
+            *(((j + 1), d, "detail") for j, d in enumerate(details)),
             (levels, approx, "approx"),
-        ]:
-            m = C.shape[1]
-            out_conv.append(np.repeat(win_conv, m))
-            out_win.append(np.repeat(win_id, m))
-            out_level.append(np.full(total_win * m, lvl, dtype=np.int32))
-            out_k.append(np.tile(np.arange(m, dtype=np.int32), total_win))
-            out_type.append(np.full(total_win * m, ctype, dtype=object))
-            out_coef.append(C.ravel())  # row-major: window-major order
+        ]
+        n_bands = len(bands)
+        lvls = np.fromiter((b[0] for b in bands), dtype=np.int32, count=n_bands)
+        types = np.array([b[2] for b in bands], dtype=object)
+        coefs: list[np.ndarray] = []
+        for _lvl, C, _ctype in bands:
+            coefs.extend(np.ascontiguousarray(C))  # band-major, window within
         return pd.DataFrame(
             {
-                "conv_id": np.concatenate(out_conv),
-                "window_id": np.concatenate(out_win),
+                "conv_id": np.tile(win_conv, n_bands),
+                "window_id": np.tile(win_id, n_bands),
                 "wavelet": wavelet,
-                "level": np.concatenate(out_level),
-                "k": np.concatenate(out_k),
-                "coef_type": np.concatenate(out_type),
-                "coef": np.concatenate(out_coef),
+                "level": np.repeat(lvls, total_win),
+                "coef_type": np.repeat(types, total_win),
+                "coefs": coefs,
             }
         )
 
@@ -165,7 +171,40 @@ def dwt_windows(
     return (
         bucketed.repartition(n_partitions, "_bucket")
         .groupBy("_bucket")
-        .applyInPandas(_pyramid_bucket, schema=COEF_SCHEMA)
+        .applyInPandas(_pyramid_bucket, schema=BAND_SCHEMA)
+    )
+
+
+def dwt_windows(
+    filled: DataFrame,
+    value_col: str,
+    wavelet: str = "haar",
+    levels: int = 5,
+    window_len: int | None = None,
+    transform: str = "dwt",
+    group_col: str = "conv_id",
+    ts_col: str = "bucket_ts",
+    n_partitions: int | None = None,
+    sparse_fill_step: str | None = None,
+) -> DataFrame:
+    """Long-format coefficient table (COEF_SCHEMA, one row per coefficient).
+
+    Same rows as the pre-band-form implementation; the per-coefficient
+    fan-out is a JVM-side ``posexplode`` over :func:`dwt_window_bands`'
+    ``array<double>`` column — whole-stage-codegen'd, never through Python.
+    """
+    bands = dwt_window_bands(
+        filled, value_col, wavelet=wavelet, levels=levels,
+        window_len=window_len, transform=transform, group_col=group_col,
+        ts_col=ts_col, n_partitions=n_partitions,
+        sparse_fill_step=sparse_fill_step,
+    )
+    return bands.select(
+        "conv_id", "window_id", "wavelet", "level", "coef_type",
+        F.posexplode("coefs").alias("k", "coef"),
+    ).select(
+        "conv_id", "window_id", "wavelet", "level",
+        F.col("k").cast("int").alias("k"), "coef_type", "coef",
     )
 
 
