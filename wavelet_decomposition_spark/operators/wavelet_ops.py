@@ -8,12 +8,15 @@ pyramid for all of a group's windows vectorized (numpy kernel,
 kernel/dwt.py). Group size is bounded by the window length x windows per
 conversation, so Arrow batches stay small and skew is capped.
 
-Output (long format, one row per coefficient):
-    (conv_id, window_id, wavelet, level, k, coef_type, coef)
+Output: the Python stage emits the compact band form (BAND_SCHEMA — one row
+per (conv_id, window_id, band) with coefficients packed as array<double>;
+``dwt_window_bands``), which is also the right storage layout at scale. The
+long per-coefficient view (COEF_SCHEMA: conv_id, window_id, wavelet, level,
+k, coef_type, coef) is a JVM-side posexplode over it (``dwt_windows``).
 level 1..J are details (finest first), level J approx rows carry
-coef_type='approx'. Energy spectra are a relational groupBy over this table
-— sum(coef*coef) per (conv_id, window_id, level, coef_type) — mirroring the
-reference's per-scale energy analytics (SURVEY.md A7).
+coef_type='approx'. Energy spectra are a relational groupBy over the long
+table — sum(coef*coef) per (conv_id, window_id, level, coef_type) —
+mirroring the reference's per-scale energy analytics (SURVEY.md A7).
 """
 
 from __future__ import annotations
