@@ -387,6 +387,19 @@ def _q_gapfill_locf(spark, sf_dir):
     )
 
 
+def _q_sessionize(spark, sf_dir):
+    """Gap-based sessionization of the event stream (30-minute gap): the
+    relational window+agg form; its streaming applyInPandasWithState twin is
+    equivalence-tested in tests/test_sessions.py."""
+    _prep(spark)
+    from wavelet_decomposition_spark.operators.sessions import sessionize
+
+    return sessionize(
+        _events(spark, sf_dir), gap="30 minutes", group_col="user_id",
+        ts_col="ts", order_col="event_id", value_col="value",
+    )
+
+
 def _q_quality_score(spark, sf_dir):
     """Text-quality scoring + language ID via the textstats operator (every
     column oracle-checked, including the composite quality score and the
@@ -812,6 +825,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": _q_ann_topk,
         "cosine_pairs": _q_cosine_pairs,
         "gapfill_locf": _q_gapfill_locf,
+        "sessionize": _q_sessionize,
         "quality_score": _q_quality_score,
         "resample_linear": _q_resample_linear,
         "conversation_stats_skew": _q_conversation_stats_skew,
@@ -1161,5 +1175,28 @@ def oracle_sql() -> dict[str, str]:
                        AS avg_value
             FROM grid g LEFT JOIN per_min p
               ON g.event_type = p.event_type AND g.bucket_ts = p.bucket_ts
+        """,
+        "sessionize": """
+            WITH ordered AS (
+                SELECT user_id, ts, event_id, value,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                              OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                            THEN 1 ELSE 0 END AS new_s
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+            marked AS (
+                SELECT user_id, ts, value,
+                       sum(new_s) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS s_idx
+                FROM ordered)
+            SELECT user_id,
+                   CAST(s_idx AS INT) AS session_idx,
+                   min(ts) AS session_start,
+                   max(ts) AS session_end,
+                   count(*) AS n_events,
+                   round(sum(value), 6) AS total_value
+            FROM marked
+            GROUP BY user_id, s_idx
         """,
     }

@@ -156,7 +156,7 @@ def main():
         "activity_1m", "rollup_1h", "gapfill_locf", "epn_thresholds",
         "pricing_summary", "nation_revenue", "dedup_groups", "ngram_jaccard",
         "ngram_jaccard_bounded", "doc_stats", "ann_topk", "minhash_pairs",
-        "simhash_near", "gorilla_blocks", "translation_search",
+        "simhash_near", "gorilla_blocks", "translation_search", "sessionize",
     ]
     qs = entrymod.queries()
     for name in bench_queries:

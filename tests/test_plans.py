@@ -86,4 +86,9 @@ def test_wavelet_stage_single_shuffle(spark):
         tier, "turns", wavelet="haar", levels=3, window_len=64,
         sparse_fill_step="1 minute",
     )
-    assert _plan(coefs, "simple").count("Exchange") == base + 1
+    plan = _plan(coefs, "simple")
+    assert plan.count("Exchange") == base + 1
+    # the per-coefficient fan-out must stay JVM-side: a Generate (posexplode)
+    # node ABOVE the single Python stage, never a second Python pass
+    assert "Generate" in plan
+    assert plan.count("FlatMapGroupsInPandas") == 1

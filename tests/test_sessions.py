@@ -1,0 +1,158 @@
+"""Sessionization: relational batch form vs stateful streaming form.
+
+The two implementations share no code (window+agg vs applyInPandasWithState
+accumulator), so their agreement on every closed session is a strong
+correctness check for both.
+"""
+
+import time
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from wavelet_decomposition_spark.operators.sessions import sessionize
+
+
+def _events_df(spark, n_users=7, n_events=400, seed=11):
+    rng = np.random.default_rng(seed)
+    users = rng.integers(0, n_users, n_events)
+    # bursty gaps: mostly minutes, occasionally hours -> real session breaks
+    gaps = np.where(
+        rng.random(n_events) < 0.15,
+        rng.integers(3600, 4 * 3600, n_events),
+        rng.integers(1, 600, n_events),
+    )
+    ts = np.zeros(n_events, dtype=np.int64)
+    for u in range(n_users):
+        m = users == u
+        ts[m] = 1_700_000_000 + np.cumsum(gaps[m])
+    pdf = pd.DataFrame(
+        {
+            "event_id": np.arange(n_events, dtype=np.int64),
+            "ts": pd.to_datetime(ts, unit="s"),
+            "user_id": users.astype(np.int64),
+            "value": rng.random(n_events).round(3),
+        }
+    )
+    return spark.createDataFrame(pdf)
+
+
+def _pandas_oracle(pdf: pd.DataFrame, gap_s: int) -> pd.DataFrame:
+    out = []
+    for uid, g in pdf.sort_values(["user_id", "ts", "event_id"]).groupby(
+        "user_id"
+    ):
+        t = g["ts"].to_numpy(dtype="datetime64[s]").view(np.int64)
+        new = np.concatenate(([True], np.diff(t) > gap_s))
+        sidx = np.cumsum(new)
+        for s in np.unique(sidx):
+            seg = g[sidx == s]
+            out.append(
+                (
+                    uid,
+                    int(s),
+                    seg["ts"].min(),
+                    seg["ts"].max(),
+                    len(seg),
+                    round(float(seg["value"].sum()), 6),
+                )
+            )
+    return pd.DataFrame(
+        out,
+        columns=[
+            "user_id", "session_idx", "session_start", "session_end",
+            "n_events", "total_value",
+        ],
+    )
+
+
+def test_sessionize_batch_matches_numpy_oracle(spark):
+    df = _events_df(spark)
+    got = (
+        sessionize(df, gap="30 minutes")
+        .toPandas()
+        .sort_values(["user_id", "session_idx"])
+        .reset_index(drop=True)
+    )
+    want = (
+        _pandas_oracle(df.toPandas(), 1800)
+        .sort_values(["user_id", "session_idx"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got[want.columns].astype(want.dtypes.to_dict()), want
+    )
+
+
+def _drain(q):
+    q.awaitTermination(120)
+    for _ in range(30):
+        if not q.isActive:
+            return
+        time.sleep(1)
+
+
+def test_stream_sessionize_matches_batch_across_restarts(spark, tmp_path):
+    """Closed sessions from the stateful streaming operator equal the batch
+    relational sessions — with the input split across two availableNow
+    drains (separate query starts on one checkpoint), so open-session state
+    must survive both micro-batch boundaries and a query restart."""
+    from wavelet_decomposition_spark.streaming.stateful import stream_sessionize
+
+    df = _events_df(spark).cache()
+    in_path, out_path = str(tmp_path / "in"), str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def _append(part_df, tag):
+        # the file stream source lists plain files under in_path; stage the
+        # write elsewhere and move the part files in
+        import glob
+        import os
+        import shutil
+
+        stage = str(tmp_path / f"stage_{tag}")
+        part_df.coalesce(1).write.mode("overwrite").parquet(stage)
+        os.makedirs(in_path, exist_ok=True)
+        for i, f in enumerate(sorted(glob.glob(f"{stage}/part-*.parquet"))):
+            shutil.move(f, f"{in_path}/{tag}_{i}.parquet")
+
+    # split mid-stream by time so many sessions straddle the two files
+    cut = df.approxQuantile("event_id", [0.5], 0.0)[0]
+    _append(df.filter(F.col("event_id") <= cut), "a")
+    _drain(stream_sessionize(spark, in_path, out_path, ckpt, df.schema))
+
+    _append(df.filter(F.col("event_id") > cut), "b")
+    # sentinel events far beyond every gap close each user's tail session
+    sentinel = (
+        df.groupBy("user_id")
+        .agg(F.max("ts").alias("ts"))
+        .select(
+            F.lit(10**9).cast("long").alias("event_id"),
+            (F.col("ts") + F.expr("interval 30 days")).alias("ts"),
+            "user_id",
+            F.lit(0.0).alias("value"),
+        )
+    )
+    _append(sentinel, "z")
+    _drain(stream_sessionize(spark, in_path, out_path, ckpt, df.schema))
+
+    got = (
+        spark.read.parquet(out_path)
+        .toPandas()
+        .sort_values(["user_id", "session_start"])
+        .reset_index(drop=True)
+    )
+    want = (
+        sessionize(df, gap="30 minutes")
+        .toPandas()
+        .sort_values(["user_id", "session_idx"])
+        .reset_index(drop=True)[
+            ["user_id", "session_start", "session_end", "n_events",
+             "total_value"]
+        ]
+    )
+    pd.testing.assert_frame_equal(
+        got[want.columns].astype(want.dtypes.to_dict()), want
+    )

@@ -1,0 +1,130 @@
+"""Custom stateful streaming operator: incremental gap-based sessionization
+via ``applyInPandasWithState``.
+
+This is the §2.7 "custom stateful operator" pattern the batch engine's
+relational :func:`~..operators.sessions.sessionize` cannot express
+incrementally: per-group state (the open session) lives in the streaming
+state store, survives micro-batches AND query restarts through the
+checkpoint, and closed sessions are emitted append-only as soon as a later
+event proves the gap.
+
+Semantics match the batch form exactly for every CLOSED session (asserted
+by tests/test_sessions.py): each group's events are processed in event-time
+order within a micro-batch; a session closes when a later event arrives
+more than ``gap`` after it. The currently-open tail session per group stays
+in state until a future event closes it (drive a sentinel event through to
+flush, or deploy with a timeout policy).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterator, Tuple
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import SparkSession
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+OUT_SCHEMA = (
+    "user_id long, session_start timestamp, session_end timestamp, "
+    "n_events long, total_value double"
+)
+# open-session accumulator: (start_us, last_us, n_events, total_value)
+STATE_SCHEMA = "start_us long, last_us long, n long, total double"
+
+
+def _sessionize_group(gap_us: int):
+    def fn(
+        key: Tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        if not len(batch):
+            return
+        ts = (
+            batch["ts"].to_numpy(dtype="datetime64[us]").view(np.int64)
+        )
+        order = np.argsort(ts, kind="stable")
+        ts = ts[order]
+        vals = batch["value"].to_numpy(dtype=np.float64)[order]
+        vals = np.nan_to_num(vals, nan=0.0)
+
+        if state.exists:
+            start_us, last_us, n, total = state.get
+        else:
+            start_us, last_us, n, total = ts[0], ts[0] - 1, 0, 0.0
+
+        # boundaries BEFORE element i where the gap from the previous event
+        # (including the carried-over open session's last event) exceeds gap
+        prev = np.concatenate(([last_us], ts[:-1]))
+        breaks = np.flatnonzero(ts - prev > gap_us)
+        out_start, out_end, out_n, out_tot = [], [], [], []
+        lo = 0
+        for b in breaks:
+            if b == 0 and n == 0:
+                continue  # fresh state; first element starts the session
+            seg_n = int(b - lo)
+            seg_tot = float(vals[lo:b].sum())
+            out_start.append(start_us)
+            out_end.append(last_us if b == lo else int(ts[b - 1]))
+            out_n.append(n + seg_n)
+            out_tot.append(total + seg_tot)
+            # next session starts at element b
+            start_us, n, total = int(ts[b]), 0, 0.0
+            lo = int(b)
+        # fold the tail into the open session state
+        tail_n = int(len(ts) - lo)
+        state.update((
+            int(start_us),
+            int(ts[-1]),
+            int(n + tail_n),
+            float(total + vals[lo:].sum()),
+        ))
+        if out_start:
+            yield pd.DataFrame(
+                {
+                    "user_id": np.full(len(out_start), key[0], dtype=np.int64),
+                    "session_start": pd.to_datetime(out_start, unit="us"),
+                    "session_end": pd.to_datetime(out_end, unit="us"),
+                    "n_events": np.asarray(out_n, dtype=np.int64),
+                    "total_value": np.round(out_tot, 6),
+                }
+            )
+
+    return fn
+
+
+def stream_sessionize(
+    spark: SparkSession,
+    input_path: str,
+    output_path: str,
+    checkpoint_path: str,
+    schema,
+    gap: str = "30 minutes",
+):
+    """File-source stream -> closed-session parquet sink (append mode).
+
+    ``trigger(availableNow=True)`` drains whatever input exists and stops;
+    re-starting with the same checkpoint resumes the state store, so open
+    sessions keep accumulating across restarts — the property that makes
+    this deployable as a scheduled incremental job as well as a continuous
+    one.
+    """
+    gap_us = int(pd.Timedelta(gap).total_seconds() * 1_000_000)
+    stream = spark.readStream.schema(schema).parquet(input_path)
+    sessions = stream.groupBy("user_id").applyInPandasWithState(
+        _sessionize_group(gap_us),
+        outputStructType=OUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return (
+        sessions.writeStream.format("parquet")
+        .option("path", output_path)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
