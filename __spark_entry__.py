@@ -625,6 +625,24 @@ def _q_lsh_ann_topk(spark, sf_dir):
     )
 
 
+def _q_ivf_ann_topk(spark, sf_dir):
+    """IVF-bucketed ANN (data-adaptive scale path: spherical-kmeans coarse
+    quantizer trained on a bounded sample, corpus cell assignment in one JVM
+    scan, queries probe their n_probe nearest cells). With n_probe == n_cells
+    it provably equals brute force (tests/test_dedup_similarity.py)."""
+    _prep(spark)
+    from wavelet_decomposition_spark.operators.similarity import ivf_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = ivf_topk(emb, queries, k=5, n_cells=8, n_probe=4)
+    return out.select(
+        "query_id", "vec_id", F.round("score", 6).alias("score"), "rank"
+    )
+
+
 def _q_text_invariant(spark, sf_dir):
     """Per-turn text-equality invariant (BASELINE.json input_hint): raw
     snapshot vs derived lineage under stable (conv_id, turn_idx) ordering;
@@ -837,6 +855,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "translation_search": _q_translation_search,
         "multimodal_plan": _q_multimodal_plan,
         "lsh_ann_topk": _q_lsh_ann_topk,
+        "ivf_ann_topk": _q_ivf_ann_topk,
         "text_invariant": _q_text_invariant,
         "transcript_rollup_1m": _q_transcript_rollup_1m,
         "dwt_energy": _q_dwt_energy,

@@ -132,3 +132,39 @@ def test_lsh_topk_recall(spark):
     assert hit / total >= 0.6, f"recall {hit}/{total}"
     # the query vector itself always lands in its own probe set
     assert (approx[approx["rank"] == 1]["score"] > 0.999).all()
+
+
+def test_ivf_topk_full_probe_equals_brute_force(spark):
+    """Probing every cell removes the approximation entirely: IVF with
+    n_probe == n_cells must reproduce brute force EXACTLY (each corpus row
+    lives in exactly one cell, so the union of all probes is one full scan)."""
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").cache()
+    queries = emb.limit(4).select(F.col("vec_id").alias("query_id"), "embedding")
+    exact = (
+        similarity.brute_force_topk(emb, queries, k=5)
+        .toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    )
+    full = (
+        similarity.ivf_topk(emb, queries, k=5, n_cells=8, n_probe=8)
+        .toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    )
+    assert list(full["vec_id"]) == list(exact["vec_id"])
+    np.testing.assert_allclose(full["score"], exact["score"], rtol=1e-12)
+
+
+def test_ivf_topk_recall(spark):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").cache()
+    queries = emb.limit(5).select(F.col("vec_id").alias("query_id"), "embedding")
+    exact = similarity.brute_force_topk(emb, queries, k=5).toPandas()
+    approx = similarity.ivf_topk(
+        emb, queries, k=5, n_cells=8, n_probe=4
+    ).toPandas()
+    total, hit = 0, 0
+    for qid in exact["query_id"].unique():
+        want = set(exact[exact.query_id == qid]["vec_id"])
+        got = set(approx[approx.query_id == qid]["vec_id"])
+        total += len(want)
+        hit += len(want & got)
+    assert hit / total >= 0.6, f"recall {hit}/{total}"
+    # a query's own vector lands in its top probe cell
+    assert (approx[approx["rank"] == 1]["score"] > 0.999).all()
