@@ -11,7 +11,10 @@ event proves the gap.
 Semantics match the batch form exactly for every CLOSED session (asserted
 by tests/test_sessions.py): each group's events are processed in event-time
 order within a micro-batch; a session closes when a later event arrives
-more than ``gap`` after it. The currently-open tail session per group stays
+more than ``gap`` after it. One deliberate divergence: null values count as
+0.0 in ``total_value`` here (the state accumulator is a plain double), so a
+session whose values are ALL null sums to 0.0 where the batch form's
+``sum`` returns NULL. The currently-open tail session per group stays
 in state until a future event closes it (drive a sentinel event through to
 flush, or deploy with a timeout policy).
 """
