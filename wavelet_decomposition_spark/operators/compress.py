@@ -57,9 +57,13 @@ def encode_blocks(
             )
         return pd.DataFrame(out)
 
-    with_day = tier_df.withColumn(block_col, F.to_date(ts_col))
+    with_day = tier_df.select(group_col, ts_col, *value_cols).withColumn(
+        block_col, F.to_date(ts_col)
+    )
     # Python-CPU-bound group stage: pin the task count and bucket the
-    # conversations (see wavelet_ops.dwt_windows for the rationale)
+    # conversations (see wavelet_ops.dwt_windows for the rationale);
+    # explicit pre-UDF projection — Catalyst cannot prune into grouped-map
+    # UDFs
     p = with_day.sparkSession.sparkContext.defaultParallelism * 2
     n_buckets = p * 4
     bucketed = with_day.withColumn(

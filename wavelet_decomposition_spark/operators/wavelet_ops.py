@@ -168,7 +168,10 @@ def dwt_window_bands(
     if n_partitions is None:
         n_partitions = filled.sparkSession.sparkContext.defaultParallelism * 2
     n_buckets = n_partitions * 4
-    bucketed = filled.withColumn(
+    # explicit projection: Catalyst cannot prune columns INTO a grouped-map
+    # UDF (the whole row ships through Arrow), so drop everything the
+    # pyramid doesn't read before the shuffle
+    bucketed = filled.select(group_col, ts_col, value_col).withColumn(
         "_bucket", F.pmod(F.hash(group_col), F.lit(n_buckets))
     )
     return (
@@ -309,7 +312,8 @@ def energy_windows(
     if n_partitions is None:
         n_partitions = filled.sparkSession.sparkContext.defaultParallelism * 2
     n_buckets = n_partitions * 4
-    bucketed = filled.withColumn(
+    # same explicit pre-UDF projection as dwt_window_bands
+    bucketed = filled.select(group_col, ts_col, value_col).withColumn(
         "_bucket", F.pmod(F.hash(group_col), F.lit(n_buckets))
     )
     return (
