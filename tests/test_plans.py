@@ -92,3 +92,6 @@ def test_wavelet_stage_single_shuffle(spark):
     # node ABOVE the single Python stage, never a second Python pass
     assert "Generate" in plan
     assert plan.count("FlatMapGroupsInPandas") == 1
+    # pre-UDF projection: unused tier columns must not ride the shuffle into
+    # the Python stage (Catalyst cannot prune into grouped-map UDFs itself)
+    assert "chars" not in plan and "tool_calls" not in plan
