@@ -770,6 +770,43 @@ def _q_gorilla_blocks(spark, sf_dir):
     return compress.compression_report(blocks, activity.ACTIVITY_COUNT_COLS)
 
 
+def _q_codec_roundtrip(spark, sf_dir):
+    """Self-verifying codec invariant for the driver's rows-only gate:
+    encode the 1m tier into Gorilla + delta-of-delta blocks, decode, and
+    full-outer-join back against the original tier. The single output row
+    cannot pass on garbage: n_unmatched must be 0 and max_abs_err must be
+    exactly 0.0 (the codecs are bit-exact)."""
+    _prep(spark)
+    from wavelet_decomposition_spark.io.transcripts import transcripts_df
+    from wavelet_decomposition_spark.operators import activity, compress, rollup
+
+    cols = activity.ACTIVITY_COUNT_COLS
+    tx = transcripts_df(spark, 150, seed=42)
+    tier = rollup.rollup_once(activity.activity_raw(tx), "1m")
+    blocks = compress.encode_blocks(tier, cols)
+    back = compress.decode_blocks(blocks, cols)
+    a = tier.select(
+        "conv_id", "bucket_ts",
+        *[F.col(c).cast("double").alias(f"a_{c}") for c in cols],
+    )
+    b = back.select(
+        "conv_id", "bucket_ts",
+        *[F.col(c).alias(f"b_{c}") for c in cols],
+    )
+    j = a.join(b, ["conv_id", "bucket_ts"], "full_outer")
+    err = F.greatest(
+        *[F.abs(F.col(f"a_{c}") - F.col(f"b_{c}")) for c in cols]
+    )
+    unmatched = (
+        F.col(f"a_{cols[0]}").isNull() | F.col(f"b_{cols[0]}").isNull()
+    ).cast("long")
+    return j.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(unmatched).alias("n_unmatched"),
+        F.max(err).alias("max_abs_err"),
+    )
+
+
 def _q_ngram_jaccard_bounded(spark, sf_dir):
     """The 100-TB Jaccard path: exact similarity computed ONLY on
     MinHash-LSH candidates (no shingle self-join). The unbounded exact
@@ -861,6 +898,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dwt_energy": _q_dwt_energy,
         "modwt_energy": _q_modwt_energy,
         "gorilla_blocks": _q_gorilla_blocks,
+        "codec_roundtrip": _q_codec_roundtrip,
         "ngram_jaccard_bounded": _q_ngram_jaccard_bounded,
         "minhash_pairs": _q_minhash_pairs,
         "simhash_near": _q_simhash_near,
