@@ -209,8 +209,12 @@ def _q_epn_thresholds(spark, sf_dir):
         F.round("emax", 6).alias("emax"),
         F.round("n", 6).alias("n_cycles"),
         F.round("uf", 6).alias("uf"),
-        # serv = emax * n is O(1e9): decimal rounding cannot mask float
-        # reassociation there; covered by the numpy-oracle pytest instead
+        # serv = emax * n is O(1e9); oracle-compare it in scaled millions so
+        # the 6-decimal rounding absorbs float reassociation (~1e-2 abs)
+        # while still pinning all meaningful digits — all six calc_EPN.py
+        # outputs are now DuckDB-checked (exact-value pytest oracle remains
+        # in tests/test_epn.py)
+        F.round(F.col("serv") / 1e6, 6).alias("serv_m"),
     )
 
 
@@ -859,6 +863,219 @@ def _q_wavelet_betas_golden(spark, sf_dir):
     return dec.decompose(df, bc)
 
 
+# per-session memo for the reference dictionaries and the parsed golden
+# workbooks: the reference itself memoizes both (the import_matrix flag,
+# wavelet_decomposition.py:30-35, and the betas xlsx cache), so the warm
+# path prices only the distributed solves, not re-parsing static artifacts
+_GOLDEN_CACHE: dict = {}
+
+
+def _betas_with_golden_parity(spark, shape, signals, years):
+    """Ingest -> P1 leap trim -> P2 normalize -> P4 resample -> A1 LSQR
+    decompose for ``signals`` x ``years`` with dictionary ``shape``, plus a
+    per-(series, year) golden-parity check: every output row carries
+    ``max_abs_err`` (vs the reference's exported coefficient sheet) and
+    ``invariant_ok`` = (all 23,423 coefficients joined AND max_abs_err <=
+    1e-9) — the rows-only driver gate cannot pass on garbage betas."""
+    from wavelet_decomposition_spark.io import reference_data as rd
+    from wavelet_decomposition_spark.io.electricity import electricity_df
+    from wavelet_decomposition_spark.operators import decompose as dec
+    from wavelet_decomposition_spark.operators import series as ser
+    from wavelet_decomposition_spark.operators.resample import resample_per_year
+
+    df = electricity_df(spark, signals=signals, years=years)
+    df = ser.leap_trim(df, 48 * 365)
+    df = ser.normalize_yearly_mean(df)
+    df = resample_per_year(df, 48, 64, 365)
+
+    key = ("bc", shape, tuple(years), id(spark))
+    bc = _GOLDEN_CACHE.get(key)
+    if bc is None:
+        trans = rd.load_translations(shape)
+        bc = dec.broadcast_dictionaries(
+            spark, shape, {y: trans[y - 2012] for y in years}
+        )
+        _GOLDEN_CACHE[key] = bc
+    betas = dec.decompose(df, bc)
+
+    gkey = ("golden", tuple(signals), tuple(years))
+    gpdf = _GOLDEN_CACHE.get(gkey)
+    if gpdf is None:
+        gpdf = rd.load_golden_betas_long(
+            [(s, y) for s in signals for y in years]
+        )
+        _GOLDEN_CACHE[gkey] = gpdf
+    golden = spark.createDataFrame(gpdf)
+
+    per_year = (
+        betas.join(golden, ["series_id", "year", "scale_idx", "pos"])
+        .groupBy("series_id", "year")
+        .agg(
+            F.count(F.lit(1)).alias("n_joined"),
+            F.max(F.abs(F.col("beta") - F.col("golden"))).alias("max_abs_err"),
+        )
+    )
+    return betas.join(F.broadcast(per_year), ["series_id", "year"]).select(
+        "series_id",
+        "year",
+        "scale_idx",
+        "pos",
+        "beta",
+        ((F.col("n_joined") == 23423) & (F.col("max_abs_err") <= 1e-9)).alias(
+            "invariant_ok"
+        ),
+    )
+
+
+def _q_full_decomposition(spark, sf_dir):
+    """The reference's FULL E1 flagship, distributed: all 21 series-year
+    LSQR solves (7 years x {Consumption, PV} square + 7 years x Wind sine —
+    tutorial.ipynb cells 9->16, wavelet_decomposition.py:203-250 +
+    :103-192), each (series, year) group one Spark task. Golden parity
+    (<= 1e-9 vs every exported coefficient sheet) rides on every row as
+    ``invariant_ok``. Reference-equivalent single-core baseline: 73.2 s for
+    the 14 square solves alone (BASELINE.md); benched distributed in
+    bench.py as ``full_decomposition``."""
+    _prep(spark)
+    years = list(range(2012, 2019))
+    square = _betas_with_golden_parity(
+        spark, "square", ["Consumption", "PV"], years
+    )
+    sine = _betas_with_golden_parity(spark, "sine", ["Wind"], years)
+    return (
+        square.withColumn("shape", F.lit("square"))
+        .unionByName(sine.withColumn("shape", F.lit("sine")))
+    )
+
+
+def _q_wavelet_betas_sine(spark, sf_dir):
+    """Sine-dictionary decomposition (Wind 2012) — the reference's second
+    wavelet family (wavelet_decomposition.py:103-192: unnormalized Phi0,
+    sine levels, Dt<=4 square fallback), driver-exposed with golden parity
+    vs betas_Wind.xlsx riding on every row."""
+    _prep(spark)
+    return _betas_with_golden_parity(spark, "sine", ["Wind"], [2012])
+
+
+def _q_stream_sessionize_drain(spark, sf_dir):
+    """Streaming surface, driver-exposed: drain the event table through the
+    applyInPandasWithState sessionizer (availableNow) and compare the closed
+    sessions against the batch relational form — ``invariant_ok`` on the
+    single summary row = (every closed streaming session equals a batch
+    session) AND (the only batch sessions missing are each user's open
+    tail). Restart-safety of the same operator is pinned in
+    tests/test_sessions.py."""
+    _prep(spark)
+    import shutil
+    import tempfile
+
+    from pyspark.sql import Window
+
+    from wavelet_decomposition_spark.operators.sessions import sessionize
+    from wavelet_decomposition_spark.streaming.stateful import (
+        stream_sessionize,
+    )
+
+    ev = _events(spark, sf_dir).select("event_id", "ts", "user_id", "value")
+    base = f"{tempfile.gettempdir()}/wds_stream_drain"
+    shutil.rmtree(base, ignore_errors=True)
+    in_path, out_path, ckpt = f"{base}/in", f"{base}/out", f"{base}/ckpt"
+    ev.write.mode("overwrite").parquet(in_path)
+    q = stream_sessionize(
+        spark, in_path, out_path, ckpt,
+        "event_id long, ts timestamp, user_id long, value double",
+        gap="30 minutes",
+    )
+    q.awaitTermination(300)
+
+    streamed = spark.read.parquet(out_path).select(
+        "user_id", "session_start", "session_end", "n_events",
+        F.round("total_value", 6).alias("total_value"),
+    )
+    batch = sessionize(
+        ev, gap="30 minutes", group_col="user_id", ts_col="ts",
+        order_col="event_id", value_col="value",
+    )
+    w = Window.partitionBy("user_id")
+    closed_batch = batch.withColumn(
+        "_last", F.max("session_idx").over(w)
+    ).filter(F.col("session_idx") != F.col("_last")).select(
+        "user_id", "session_start", "session_end", "n_events",
+        F.round("total_value", 6).alias("total_value"),
+    )
+    j = streamed.alias("s").join(
+        closed_batch.alias("b"),
+        ["user_id", "session_start", "session_end", "n_events",
+         "total_value"],
+        "full_outer",
+    )
+    summary = j.agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum(
+            (F.col("s.user_id").isNull() | F.col("b.user_id").isNull())
+            .cast("long")
+        ).alias("n_mismatch"),
+    )
+    return summary.select(
+        "n_sessions",
+        "n_mismatch",
+        ((F.col("n_mismatch") == 0) & (F.col("n_sessions") > 0)).alias(
+            "invariant_ok"
+        ),
+    )
+
+
+def _q_stream_rollup_drain(spark, sf_dir):
+    """Streaming 1m-tier facade, driver-exposed: availableNow drain of a
+    transcript snapshot through stream_rollup_1m, then an exact comparison
+    of every EMITTED window against the batch 1m tier. Append mode +
+    watermark means windows still inside the watermark horizon at
+    end-of-input are withheld (they stay in state for the next drain), so
+    the invariant is: emitted ⊆ batch with exact equality on every emitted
+    key, nothing emitted twice, and >0 windows emitted."""
+    _prep(spark)
+    import shutil
+    import tempfile
+
+    from wavelet_decomposition_spark.io.transcripts import transcripts_df
+    from wavelet_decomposition_spark.operators import activity, rollup
+    from wavelet_decomposition_spark.streaming.facade import stream_rollup_1m
+
+    base = f"{tempfile.gettempdir()}/wds_stream_rollup_drain"
+    shutil.rmtree(base, ignore_errors=True)
+    in_path, out_path, ckpt = f"{base}/in", f"{base}/out", f"{base}/ckpt"
+    tx = transcripts_df(spark, 200, seed=42)
+    tx.write.mode("overwrite").parquet(in_path)
+    q = stream_rollup_1m(spark, in_path, out_path, ckpt)
+    q.awaitTermination(300)
+
+    streamed = spark.read.parquet(out_path)
+    batch = rollup.rollup_once(
+        activity.activity_raw(spark.read.parquet(in_path)), "1m"
+    ).select("conv_id", "bucket_ts", "turns", "chars", "tool_calls")
+    j = streamed.alias("s").join(
+        batch.alias("b"), ["conv_id", "bucket_ts"], "left"
+    )
+    summary = j.agg(
+        F.count(F.lit(1)).alias("n_windows"),
+        F.sum(
+            (
+                F.col("b.turns").isNull()
+                | (F.col("s.turns") != F.col("b.turns"))
+                | (F.col("s.chars") != F.col("b.chars"))
+                | (F.col("s.tool_calls") != F.col("b.tool_calls"))
+            ).cast("long")
+        ).alias("n_mismatch"),
+    )
+    return summary.select(
+        "n_windows",
+        "n_mismatch",
+        ((F.col("n_mismatch") == 0) & (F.col("n_windows") > 0)).alias(
+            "invariant_ok"
+        ),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "activity_1m": _q_activity_1m,
@@ -903,6 +1120,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_pairs": _q_minhash_pairs,
         "simhash_near": _q_simhash_near,
         "wavelet_betas_golden": _q_wavelet_betas_golden,
+        "wavelet_betas_sine": _q_wavelet_betas_sine,
+        "full_decomposition": _q_full_decomposition,
+        "stream_sessionize_drain": _q_stream_sessionize_drain,
+        "stream_rollup_drain": _q_stream_rollup_drain,
     }
 
 
@@ -981,7 +1202,9 @@ def oracle_sql() -> dict[str, str]:
                    round(a.thr * 1.0, 6) AS pmax,
                    round(a.thr * s.scale_hours / 2.0, 6) AS emax,
                    round(a.n_cycles, 6) AS n_cycles,
-                   round(100.0 * a.n_cycles * s.scale_hours / 8760.0, 6) AS uf
+                   round(100.0 * a.n_cycles * s.scale_hours / 8760.0, 6) AS uf,
+                   round(a.thr * s.scale_hours / 2.0 * a.n_cycles
+                         / 1000000.0, 6) AS serv_m
             FROM agg a JOIN scales s USING (scale_idx)
         """,
         "topk_argmin": """

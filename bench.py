@@ -157,6 +157,11 @@ def main():
         "pricing_summary", "nation_revenue", "dedup_groups", "ngram_jaccard",
         "ngram_jaccard_bounded", "doc_stats", "ann_topk", "minhash_pairs",
         "simhash_near", "gorilla_blocks", "translation_search", "sessionize",
+        # the reference's full E1 flagship: all 21 series-year LSQR solves
+        # (7yr x {Consumption,PV} square + 7yr x Wind sine) with golden
+        # parity riding on every row; reference-equivalent single-core
+        # baseline is 73.2 s for the 14 square solves alone (BASELINE.md)
+        "full_decomposition",
     ]
     qs = entrymod.queries()
     for name in bench_queries:

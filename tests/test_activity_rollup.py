@@ -73,10 +73,24 @@ def test_gapfill_locf_carries_forward(spark):
     assert filled.filter(F.col("chars").isNull()).count() == 0
 
 
-def test_resample_linear_relational_matches_np_interp(spark):
+import pytest
+
+
+@pytest.mark.parametrize(
+    "n,dpd,ndpd",
+    [
+        (50, 2, 5),   # divisible upsample (the reference's 48->64 shape)
+        (50, 3, 4),   # NON-divisible: grid length must be ceil(n*ndpd/dpd)
+        (31, 4, 7),   # non-divisible, odd everything
+        (50, 7, 5),   # downsample with non-divisible grid
+    ],
+)
+def test_resample_linear_relational_matches_np_interp(spark, n, dpd, ndpd):
     """P4 relational form == np.interp on the reference's positional grids
     (arange(0,dpy,1/dpd) -> arange(0,dpy,1/ndpd)), including the right-edge
-    clamp (the target grid extends past the last source point)."""
+    clamp (the target grid extends past the last source point) and the
+    ceil-length grid when dpd does not divide n*ndpd (a truncating cast
+    dropped the last output row — round-2 advisory)."""
     import numpy as np
 
     from wavelet_decomposition_spark.operators.resample import (
@@ -84,7 +98,6 @@ def test_resample_linear_relational_matches_np_interp(spark):
     )
 
     rng = np.random.default_rng(7)
-    n, dpd, ndpd = 50, 2, 5
     y = rng.normal(size=n)
     df = spark.createDataFrame(
         [("g", int(i), float(v)) for i, v in enumerate(y)],
@@ -95,9 +108,10 @@ def test_resample_linear_relational_matches_np_interp(spark):
         .orderBy("idx")
         .toPandas()
     )
-    dpy = n / dpd
-    want = np.interp(
-        np.arange(0, dpy, 1.0 / ndpd), np.arange(0, dpy, 1.0 / dpd), y
-    )
-    assert len(out) == want.size
+    # positional form of the reference grids (identical when n/dpd is an
+    # integer, as in the reference's 365-day years; exact integer ceil for
+    # the target length where float arange would be ill-defined)
+    m = -(-n * ndpd // dpd)
+    want = np.interp(np.arange(m) / ndpd, np.arange(n) / dpd, y)
+    assert len(out) == m
     np.testing.assert_allclose(out["v"].to_numpy(), want, atol=1e-12)

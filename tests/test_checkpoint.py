@@ -43,6 +43,46 @@ def test_refresh_is_incremental_and_resumable(spark, tmp_path):
     assert before.equals(after)
 
 
+def test_backfill_builds_days_concurrently(spark, tmp_path):
+    """A 10-stale-day backfill must overlap its per-day Spark jobs (round-2
+    review: the sequential driver loop serialized thousands-of-day backfills
+    on job-submission latency). compute_fn tracks its own concurrent
+    invocations; with a thread pool the observed peak must exceed 1."""
+    import threading
+    import time as _time
+
+    base = str(tmp_path / "tiers3")
+    os.makedirs(base, exist_ok=True)
+    inp = spark.range(200).select(
+        "id",
+        F.concat(
+            F.lit("2024-01-"),
+            F.lpad(((F.col("id") % 10) + 1).cast("string"), 2, "0"),
+        ).alias("day"),
+    )
+    lock = threading.Lock()
+    state = {"active": 0, "peak": 0}
+
+    def compute(day_slice):
+        with lock:
+            state["active"] += 1
+            state["peak"] = max(state["peak"], state["active"])
+        _time.sleep(0.4)  # hold so overlap is observable deterministically
+        with lock:
+            state["active"] -= 1
+        return day_slice.drop("day").agg(F.count(F.lit(1)).alias("n"))
+
+    built = ckpt.refresh_tier(spark, inp, compute, base, "cnt")
+    assert sorted(built) == [f"2024-01-{d:02d}" for d in range(1, 11)]
+    assert state["peak"] >= 2, "backfill ran sequentially"
+    # all 10 days landed with correct content and the manifest is complete
+    tier = ckpt.read_tier(spark, base, "cnt")
+    assert tier.count() == 10
+    assert tier.filter(F.col("n") != 20).count() == 0
+    # resume: nothing stale
+    assert ckpt.refresh_tier(spark, inp, compute, base, "cnt") == []
+
+
 def test_changed_input_invalidates_partition(spark, tmp_path):
     base = str(tmp_path / "tiers2")
     os.makedirs(base, exist_ok=True)

@@ -71,6 +71,24 @@ def test_bounded_jaccard_matches_exact(spark, docs):
     assert got == want
 
 
+def test_bounded_jaccard_auto_banding_low_threshold(spark, docs):
+    """The banding is derived from the threshold (round-2 advisory: a fixed
+    16x4 banding has ~0.2% candidate recall at j=0.1, silently dropping most
+    low-similarity pairs). At threshold 0.1 _auto_banding picks 64x1
+    (per-pair recall ~0.9988); precision stays exact."""
+    assert dedup._auto_banding(0.1, 64) == (64, 1)
+    assert dedup._auto_banding(0.5, 64) == (32, 2)
+    assert dedup._auto_banding(0.8, 64) == (16, 4)
+    exact = dedup.ngram_jaccard_pairs(docs, threshold=0.1).toPandas()
+    bounded = dedup.ngram_jaccard_pairs_bounded(docs, threshold=0.1).toPandas()
+    want = set(zip(exact.id_a, exact.id_b))
+    got = set(zip(bounded.id_a, bounded.id_b))
+    assert want, "fixture should contain j>=0.1 pairs"
+    assert got <= want, "bounded reported a pair the exact join rejects"
+    recall = len(want & got) / len(want)
+    assert recall >= 0.95, f"auto-banded recall too low: {recall}"
+
+
 def test_simhash_near_pairs(spark, docs):
     sh = dedup.simhash(docs).cache()
     assert sh.count() == docs.count()

@@ -94,6 +94,68 @@ def _drain(q):
         time.sleep(1)
 
 
+def test_stream_sessionize_drops_cross_batch_late_events(spark, tmp_path):
+    """An event arriving in a LATER micro-batch at or before the open
+    session's newest event is dropped (round-2 advisory): emitted sessions
+    are append-only, so state must never regress — without the guard a late
+    batch computed a negative gap (never a break) and rewound last_us,
+    corrupting every later session. Closed sessions must equal the batch
+    form over the ACCEPTED events only."""
+    import glob
+    import os
+    import shutil
+
+    from wavelet_decomposition_spark.streaming.stateful import stream_sessionize
+
+    in_path, out_path = str(tmp_path / "in"), str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "event_id long, ts timestamp, user_id long, value double"
+
+    def _append(rows, tag):
+        stage = str(tmp_path / f"stage_{tag}")
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(stage)
+        os.makedirs(in_path, exist_ok=True)
+        for i, f in enumerate(sorted(glob.glob(f"{stage}/part-*.parquet"))):
+            shutil.move(f, f"{in_path}/{tag}_{i}.parquet")
+
+    t = pd.Timestamp("2024-03-01 10:00:00")
+
+    def _ts(sec):
+        return (t + pd.Timedelta(seconds=sec)).to_pydatetime()
+
+    _append([(1, _ts(0), 1, 1.0), (2, _ts(60), 1, 2.0)], "a")
+    _drain(stream_sessionize(spark, in_path, out_path, ckpt, schema))
+
+    _append(
+        [
+            (3, _ts(30), 1, 100.0),      # LATE: before last_us -> dropped
+            (4, _ts(120), 1, 4.0),       # extends the open session
+            (5, _ts(3600 * 3), 1, 8.0),  # gap > 30min -> closes session 1
+            (6, _ts(86400 * 30), 1, 0.0),  # sentinel closes session 2
+        ],
+        "b",
+    )
+    _drain(stream_sessionize(spark, in_path, out_path, ckpt, schema))
+
+    got = (
+        spark.read.parquet(out_path)
+        .toPandas()
+        .sort_values("session_start")
+        .reset_index(drop=True)
+    )
+    assert len(got) == 2
+    # session 1: the three accepted events; the late 100.0 never counted
+    assert got.loc[0, "session_start"] == t
+    assert got.loc[0, "session_end"] == t + pd.Timedelta(seconds=120)
+    assert got.loc[0, "n_events"] == 3
+    assert got.loc[0, "total_value"] == 7.0
+    # session 2: the 13:00 singleton
+    assert got.loc[1, "n_events"] == 1
+    assert got.loc[1, "total_value"] == 8.0
+
+
 def test_stream_sessionize_matches_batch_across_restarts(spark, tmp_path):
     """Closed sessions from the stateful streaming operator equal the batch
     relational sessions — with the input split across two availableNow

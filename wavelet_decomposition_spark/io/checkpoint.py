@@ -24,6 +24,8 @@ from __future__ import annotations
 
 import json
 import os
+import threading
+from concurrent.futures import ThreadPoolExecutor
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -76,13 +78,24 @@ def refresh_tier(
     base_path: str,
     tier: str,
     day_col: str = "day",
+    max_concurrency: int = 8,
 ) -> list[str]:
     """Incremental, resumable tier refresh.
 
     ``input_df`` must carry ``day_col``; ``compute_fn(day_slice) -> DataFrame``
     produces the tier rows for one day's input. Returns the list of days
     (re)built. Days whose input fingerprint matches the manifest are skipped.
-    """
+
+    Stale days are (re)built CONCURRENTLY: each day is an independent Spark
+    job (filter -> compute -> atomic partition write -> manifest append), and
+    up to ``max_concurrency`` of them are in flight at once via driver
+    threads — Spark schedules concurrent jobs' tasks onto free executors, so
+    a backfill of thousands of stale days no longer serializes on per-job
+    submission latency (round-2 review finding). Manifest appends are
+    serialized under a lock; per-day atomicity semantics are unchanged (a
+    crash between partition write and manifest append just rewrites that
+    day on resume, byte-identical). Concurrency + resume are pinned by
+    tests/test_checkpoint.py."""
     fps = partition_fingerprints(input_df, day_col)
     manifest = read_manifest(base_path, tier)
     todo = [
@@ -90,7 +103,11 @@ def refresh_tier(
         for day, meta in sorted(fps.items())
         if day not in manifest or manifest[day]["input_fp"] != meta["fp"]
     ]
-    for day in todo:
+    if not todo:
+        return []
+    lock = threading.Lock()
+
+    def _build(day: str) -> None:
         day_slice = input_df.filter(F.col(day_col) == F.lit(day))
         out = compute_fn(day_slice)
         part_path = os.path.join(base_path, f"tier={tier}", f"day={day}")
@@ -100,18 +117,27 @@ def refresh_tier(
             F.count(F.lit(1)).alias("n"),
             F.sum(F.xxhash64(*written.columns).cast("decimal(38,0)")).alias("h"),
         ).collect()[0]
-        _append_manifest(
-            base_path,
-            tier,
-            {
-                "tier": tier,
-                "day": day,
-                "input_fp": fps[day]["fp"],
-                "input_rows": fps[day]["n_rows"],
-                "n_rows": content["n"],
-                "content_hash": str(content["h"]),
-            },
-        )
+        with lock:
+            _append_manifest(
+                base_path,
+                tier,
+                {
+                    "tier": tier,
+                    "day": day,
+                    "input_fp": fps[day]["fp"],
+                    "input_rows": fps[day]["n_rows"],
+                    "n_rows": content["n"],
+                    "content_hash": str(content["h"]),
+                },
+            )
+
+    with ThreadPoolExecutor(
+        max_workers=max(1, min(max_concurrency, len(todo)))
+    ) as pool:
+        # list() propagates the first worker exception; completed days have
+        # already appended their manifest rows, so a failed backfill resumes
+        # exactly where it stopped
+        list(pool.map(_build, todo))
     return todo
 
 

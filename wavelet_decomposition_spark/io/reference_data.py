@@ -89,6 +89,33 @@ def load_golden_betas(
     return out
 
 
+def load_golden_betas_long(
+    signals_years: list[tuple[str, int]], root: str = REFERENCE_ROOT
+):
+    """Golden coefficients for many (signal, year) pairs as ONE long pandas
+    frame ``(series_id, year, scale_idx, pos, golden)`` — the layout of the
+    engine's beta table (operators/decompose.BETA_SCHEMA), so parity checks
+    are a single equi-join. Used by the full-decomposition driver query."""
+    import pandas as pd
+
+    frames = []
+    for sig, year in signals_years:
+        sheets = load_golden_betas(sig, year, root)
+        for s, arr in enumerate(sheets):
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "series_id": sig,
+                        "year": np.int32(year),
+                        "scale_idx": np.int32(s),
+                        "pos": np.arange(arr.size, dtype=np.int32),
+                        "golden": arr,
+                    }
+                )
+            )
+    return pd.concat(frames, ignore_index=True)
+
+
 def load_input_series(
     root: str = REFERENCE_ROOT,
 ) -> tuple[dict[str, dict[int, np.ndarray]], list[int]]:

@@ -47,12 +47,19 @@ def _spread(df: DataFrame, factor: int = 2) -> DataFrame:
 
     Small inputs often arrive as a handful of file splits (the sf fixtures
     are ONE split), which would run the 64-permutation explode+aggregate in
-    a single task. Repartition up only when the scan is under-split; at
-    real scale the scan already exceeds the floor and this is a no-op (no
-    shuffle added)."""
+    a single task. The split estimate uses ``inputFiles()`` — a
+    metadata-only listing, no RDD plan conversion (``df.rdd`` forces a
+    full plan translation per call): at real scale a 100-TB corpus has
+    orders of magnitude more files than cores and this is a no-op; only
+    under-split scans (or non-file-backed test DataFrames) pay one
+    repartition."""
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism * factor
-    if df.rdd.getNumPartitions() >= target:
+    try:
+        n_splits = len(df.inputFiles())
+    except Exception:
+        n_splits = 0
+    if n_splits >= target:
         return df
     return df.repartition(target)
 
@@ -170,6 +177,28 @@ def ngram_jaccard_pairs(
     )
 
 
+def _auto_banding(
+    threshold: float, n_perm: int, target_recall: float = 0.95
+) -> tuple[int, int]:
+    """Pick ``(bands, rows_per_band)`` with ``bands * rows == n_perm`` so the
+    banded-LSH candidate recall AT the requested threshold stays high:
+    ``recall(j) = 1 - (1 - j^r)^b``. A banding is only valid near its own
+    operating point — 16x4 has ~0.9996 recall at j=0.8 but ~0.2% at j=0.1,
+    so a fixed banding silently drops almost every low-threshold pair.
+    Returns the largest ``rows_per_band`` (hardest candidate pruning, i.e.
+    cheapest verification join) whose recall at ``threshold`` still meets
+    ``target_recall``: 64x1 for t<=~0.17, 32x2 to ~0.45, 16x4 to ~0.72,
+    8x8 to ~0.87 (n_perm=64)."""
+    best = (n_perm, 1)
+    for r in range(1, n_perm + 1):
+        if n_perm % r:
+            continue
+        b = n_perm // r
+        if 1.0 - (1.0 - threshold**r) ** b >= target_recall:
+            best = (b, r)
+    return best
+
+
 def ngram_jaccard_pairs_bounded(
     df: DataFrame,
     text_col: str = "text",
@@ -177,17 +206,24 @@ def ngram_jaccard_pairs_bounded(
     n: int = 3,
     threshold: float = 0.8,
     n_perm: int = 64,
-    bands: int = 16,
-    rows_per_band: int = 4,
+    bands: int | None = None,
+    rows_per_band: int | None = None,
     seed: int = 42,
 ) -> DataFrame:
     """Exact Jaccard computed ONLY on MinHash-LSH candidate pairs — the
     100-TB path. No shingle self-join ever happens: candidates come from
     banded LSH (shuffle key = (band, bucket)), then two bounded equi-joins
     attach each side's shingle set and the intersection runs JVM-side
-    (``array_intersect``). Recall is the LSH band recall (>= ~99.9% at
-    jaccard 0.8 with 16x4 banding); precision is exact. The unbounded
-    self-join above is the pytest oracle for this operator."""
+    (``array_intersect``). Precision is exact; recall is the LSH band
+    recall, and the banding is derived from ``threshold`` by default
+    (:func:`_auto_banding`) so the candidate filter's operating point always
+    matches the requested threshold — pass ``bands``/``rows_per_band`` to
+    pin it manually. Low thresholds get permissive bandings (more
+    candidates): that cost is inherent to asking for low-similarity pairs,
+    not a property of this implementation. The unbounded self-join above is
+    the pytest oracle for this operator."""
+    if bands is None or rows_per_band is None:
+        bands, rows_per_band = _auto_banding(threshold, n_perm)
     sigs = minhash_signatures(df, text_col, id_col, n, n_perm, seed)
     cand = minhash_lsh_pairs(sigs, bands, rows_per_band)
     sets = shingled(df, text_col, id_col, n)

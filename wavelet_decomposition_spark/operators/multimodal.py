@@ -46,21 +46,31 @@ def synthetic_assets(spark: SparkSession, n: int, seed: int = 42) -> DataFrame:
 
 
 def _fake_features(payload: pd.Series, dim: int) -> np.ndarray:
-    """Deterministic feature vectors derived from payload bytes (FNV over
-    the blob, expanded via splitmix) — vectorized per batch."""
-    out = np.zeros((len(payload), dim), dtype=np.float32)
-    for i, blob in enumerate(payload):
-        h = np.uint64(0xCBF29CE484222325)
-        arr = np.frombuffer(blob or b"\x00", dtype=np.uint8)
-        for chunk in arr[:64]:
-            h = (h ^ np.uint64(chunk)) * np.uint64(0x100000001B3)
-        x = np.uint64(h) + np.arange(dim, dtype=np.uint64)
-        x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
-        x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
-        out[i] = ((x >> np.uint64(11)).astype(np.float64) / float(1 << 53)).astype(
-            np.float32
+    """Deterministic feature vectors derived from payload bytes (FNV-1 over
+    the first 64 bytes, expanded via splitmix) — vectorized across the whole
+    Arrow batch: the blobs are packed into one padded ``(n, 64)`` uint8
+    matrix and the FNV fold runs as 64 batch-wide steps (constant iteration
+    count regardless of batch size — no per-blob Python loop)."""
+    n = len(payload)
+    heads = [(b or b"\x00")[:64] for b in payload]
+    lens = np.fromiter((len(h) for h in heads), dtype=np.int64, count=n)
+    mat = np.zeros((n, 64), dtype=np.uint8)
+    if n:
+        # row-major mask order matches the concatenation order of the heads
+        mat[np.arange(64)[None, :] < lens[:, None]] = np.frombuffer(
+            b"".join(heads), dtype=np.uint8
         )
-    return out
+    prime = np.uint64(0x100000001B3)
+    h = np.full(n, 0xCBF29CE484222325, dtype=np.uint64)
+    for j in range(int(lens.max(initial=0))):
+        step = (h ^ mat[:, j].astype(np.uint64)) * prime
+        h = np.where(j < lens, step, h)
+    x = h[:, None] + np.arange(dim, dtype=np.uint64)[None, :]
+    x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return ((x >> np.uint64(11)).astype(np.float64) / float(1 << 53)).astype(
+        np.float32
+    )
 
 
 def extract_features(

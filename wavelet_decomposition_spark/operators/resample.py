@@ -65,12 +65,17 @@ def resample_linear_relational(
     plan must stay whole-stage-codegen JVM (both joins shuffle on
     (group, idx), the grid explode is ndpd/dpd x the source rows)."""
     n = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("_n"))
+    # target grid length matches np.interp's arange(0, n/dpd, 1/ndpd):
+    # ceil(n*ndpd/dpd) points (a truncating cast would drop the last point
+    # whenever dpd does not divide n*ndpd; non-divisible parity is pinned
+    # in tests/test_activity_rollup.py)
     grid = n.select(
         group_col,
         "_n",
         F.explode(
             F.sequence(
-                F.lit(0), (F.col("_n") * ndpd / dpd).cast("long") - 1
+                F.lit(0),
+                F.ceil(F.col("_n") * ndpd / F.lit(float(dpd))).cast("long") - 1,
             )
         ).alias("j"),
     )

@@ -131,16 +131,32 @@ def train_coarse_quantizer(
     train_sample: int = 4096,
     n_iter: int = 10,
     seed: int = 42,
+    id_col: str = "vec_id",
 ) -> np.ndarray:
-    """Spherical k-means centroids (unit rows, shape ``(n_cells, dim)``).
+    """Spherical k-means centroids (unit rows, shape ``(min(n_cells, n), dim)``).
 
-    Training collects a BOUNDED sample to the driver (``train_sample`` rows
-    — a few MB even at 10^12-row corpora, the same order as broadcasting
-    the query set) and runs Lloyd iterations in numpy; the corpus itself is
-    never collected. Deterministic for a given seed."""
-    pdf = corpus.select(vec_col).limit(train_sample).toPandas()
+    Training collects a BOUNDED, UNBIASED sample to the driver
+    (``train_sample`` rows — a few MB even at 10^12-row corpora, the same
+    order as broadcasting the query set) and runs Lloyd iterations in numpy;
+    the corpus itself is never collected. The sample is the ``train_sample``
+    rows with the smallest seeded ``xxhash64(id)`` — a deterministic
+    pseudo-random draw that is independent of file order and partitioning
+    (a plain ``limit`` would train on the first file split's likely
+    time/source-correlated vectors and silently degrade recall on the rest
+    of the corpus at scale). ``orderBy().limit()`` executes as a
+    per-partition top-N + driver merge of n rows — no full sort shuffle.
+    ``n_cells`` is clamped to the sample size; callers must use the
+    returned ``C.shape[0]`` as the effective cell count."""
+    pdf = (
+        corpus.select(id_col, vec_col)
+        .orderBy(F.xxhash64(F.col(id_col), F.lit(seed)), F.col(id_col))
+        .limit(train_sample)
+        .select(vec_col)
+        .toPandas()
+    )
     X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
     X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-30)
+    n_cells = min(n_cells, len(X))
     rng = np.random.default_rng(seed)
     C = X[rng.choice(len(X), size=n_cells, replace=False)]
     for _ in range(n_iter):
@@ -174,8 +190,10 @@ def ivf_topk(
     centralized."""
     C = train_coarse_quantizer(
         corpus, n_cells=n_cells, vec_col=vec_col,
-        train_sample=train_sample, seed=seed,
+        train_sample=train_sample, seed=seed, id_col=id_col,
     )
+    n_cells = C.shape[0]  # trainer clamps to the sample size
+    n_probe = min(n_probe, n_cells)
 
     def _cent_dots(vec):
         return [

@@ -11,7 +11,22 @@ event proves the gap.
 Semantics match the batch form exactly for every CLOSED session (asserted
 by tests/test_sessions.py): each group's events are processed in event-time
 order within a micro-batch; a session closes when a later event arrives
-more than ``gap`` after it. One deliberate divergence: null values count as
+more than ``gap`` after it.
+
+Late-data contract (guarded, not assumed): events are sorted within each
+micro-batch, but an event that arrives in a LATER micro-batch with
+``ts <= last_us`` (at or before the open session's newest event) is
+DROPPED — emitted sessions are append-only and already-closed sessions can
+never be reopened, so retro-patching state would corrupt rather than
+repair. Without the guard a late batch would compute a negative gap (never
+a session break) and then regress ``last_us``, silently extending or
+splitting subsequent sessions. Cross-micro-batch late events instead take
+the engine's batch late-data route: deterministic re-aggregation of the
+affected window from the raw tier (io/checkpoint.refresh_tier), which is
+how the north rule handles lateness everywhere else. ``last_us`` is also
+updated with ``max(last_us, ts[-1])`` as defense in depth.
+
+One deliberate divergence from the batch form: null values count as
 0.0 in ``total_value`` here (the state accumulator is a plain double), so a
 session whose values are ALL null sums to 0.0 where the batch form's
 ``sum`` returns NULL. The currently-open tail session per group stays
@@ -55,6 +70,15 @@ def _sessionize_group(gap_us: int):
 
         if state.exists:
             start_us, last_us, n, total = state.get
+            # drop cross-micro-batch late events (ts <= the open session's
+            # newest event): emitted sessions are append-only, so state can
+            # only move forward — see the module docstring's late-data
+            # contract (batch re-aggregation is the repair path)
+            keep = ts > last_us
+            if not keep.all():
+                ts, vals = ts[keep], vals[keep]
+                if not len(ts):
+                    return
         else:
             start_us, last_us, n, total = ts[0], ts[0] - 1, 0, 0.0
 
@@ -80,7 +104,7 @@ def _sessionize_group(gap_us: int):
         tail_n = int(len(ts) - lo)
         state.update((
             int(start_us),
-            int(ts[-1]),
+            int(max(last_us, ts[-1])),  # monotone even if the guard changes
             int(n + tail_n),
             float(total + vals[lo:].sum()),
         ))
