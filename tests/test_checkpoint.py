@@ -83,6 +83,41 @@ def test_backfill_builds_days_concurrently(spark, tmp_path):
     assert ckpt.refresh_tier(spark, inp, compute, base, "cnt") == []
 
 
+def test_expire_tier_retention(spark, tmp_path):
+    """Retention expiry: dropping a day == dropping its partition directory
+    (metadata-only); the manifest is rewritten without the expired days and
+    a horizon-filtered refresh is a no-op afterwards."""
+    base = str(tmp_path / "tiers4")
+    os.makedirs(base, exist_ok=True)
+    inp = spark.range(200).select(
+        "id",
+        F.concat(
+            F.lit("2024-01-"),
+            F.lpad(((F.col("id") % 10) + 1).cast("string"), 2, "0"),
+        ).alias("day"),
+    )
+
+    def compute(day_slice):
+        return day_slice.drop("day").agg(F.count(F.lit(1)).alias("n"))
+
+    assert len(ckpt.refresh_tier(spark, inp, compute, base, "cnt")) == 10
+    dropped = ckpt.expire_tier(base, "cnt", "2024-01-06")
+    assert dropped == [f"2024-01-{d:02d}" for d in range(1, 6)]
+    assert ckpt.read_tier(spark, base, "cnt").count() == 5
+    assert sorted(ckpt.read_manifest(base, "cnt")) == [
+        f"2024-01-{d:02d}" for d in range(6, 11)
+    ]
+    # horizon-filtered refresh: nothing stale
+    horizon = inp.filter(F.col("day") >= "2024-01-06")
+    assert ckpt.refresh_tier(spark, horizon, compute, base, "cnt") == []
+    # idempotent: expiring again drops nothing
+    assert ckpt.expire_tier(base, "cnt", "2024-01-06") == []
+    # apply_retention sweep form: keep 2 days back from the 10th
+    out = ckpt.apply_retention(base, {"cnt": 2}, "2024-01-10")
+    assert out["cnt"] == [f"2024-01-{d:02d}" for d in range(6, 8)]
+    assert ckpt.read_tier(spark, base, "cnt").count() == 3
+
+
 def test_changed_input_invalidates_partition(spark, tmp_path):
     base = str(tmp_path / "tiers2")
     os.makedirs(base, exist_ok=True)

@@ -23,17 +23,21 @@ def _stacked_golden(signal):
     return [np.asarray(c) for c in sheets]
 
 
-def test_epn_matches_numpy_oracle(spark):
-    stacked = _stacked_golden("Consumption")
-    oracle = calc_epn(stacked, SATIS, TIME_SCALES_HOURS, dpy=365, load_factor=1.0)
-
+def _betas_df(spark, stacked):
     rows = []
     for scale_idx, col in enumerate(stacked[:15]):
         for pos, b in enumerate(col):
             rows.append(("Consumption", scale_idx, int(pos), float(b)))
-    betas = spark.createDataFrame(
+    return spark.createDataFrame(
         rows, "series_id string, scale_idx int, pos int, beta double"
     )
+
+
+def test_epn_matches_numpy_oracle(spark):
+    stacked = _stacked_golden("Consumption")
+    oracle = calc_epn(stacked, SATIS, TIME_SCALES_HOURS, dpy=365, load_factor=1.0)
+
+    betas = _betas_df(spark, stacked)
     result = epn(spark, betas, SATIS, n_years=7).toPandas()
 
     # rtol 1e-9: Spark's clamped-sum accumulates in partition order, numpy in
@@ -47,3 +51,40 @@ def test_epn_matches_numpy_oracle(spark):
         np.testing.assert_allclose(r.uf, oracle["uf"][i, s], rtol=1e-9)
         np.testing.assert_allclose(r.serv, oracle["serv"][i, s], rtol=1e-9)
     assert len(result) == 15 * len(SATIS)
+
+
+def test_epn_approx_percentile_escape_hatch(spark):
+    """exact=False replaces the rank-join order statistic with a
+    percentile_approx sketch (no per-(group, scale) sort shuffle — the
+    100-TB path). The GK sketch guarantees rank error <= n/accuracy: every
+    approximate threshold must land inside the exact order-statistics band
+    around the reference's target rank, and the schema/row shape must be
+    identical to the exact form."""
+    stacked = _stacked_golden("Consumption")
+    betas = _betas_df(spark, stacked)
+    acc = 10_000
+    approx = (
+        epn(spark, betas, SATIS, n_years=7, exact=False, approx_accuracy=acc)
+        .toPandas()
+        .sort_values(["scale_idx", "satisfaction"])
+        .reset_index(drop=True)
+    )
+    exact = (
+        epn(spark, betas, SATIS, n_years=7)
+        .toPandas()
+        .sort_values(["scale_idx", "satisfaction"])
+        .reset_index(drop=True)
+    )
+    assert list(approx.columns) == list(exact.columns)
+    assert len(approx) == len(exact) == 15 * len(SATIS)
+    for _, r in approx.iterrows():
+        arr = np.sort(np.abs(stacked[int(r.scale_idx)]))
+        n = arr.size
+        target = int(np.ceil(r.satisfaction * n / 100.0))  # 1-based rank
+        err = n // acc + 1
+        lo = arr[max(target - 1 - err, 0)]
+        hi = arr[min(target - 1 + err, n - 1)]
+        assert lo - 1e-12 <= r.pmax <= hi + 1e-12, (
+            f"scale {r.scale_idx} satis {r.satisfaction}: "
+            f"approx {r.pmax} outside [{lo}, {hi}]"
+        )

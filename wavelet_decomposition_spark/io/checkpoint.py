@@ -143,3 +143,51 @@ def refresh_tier(
 
 def read_tier(spark: SparkSession, base_path: str, tier: str) -> DataFrame:
     return spark.read.parquet(os.path.join(base_path, f"tier={tier}"))
+
+
+def expire_tier(base_path: str, tier: str, cutoff_day: str) -> list[str]:
+    """Retention expiry: drop every ``day < cutoff_day`` partition of a tier.
+
+    Dropping a day IS dropping its partition directory — an O(#expired-days)
+    metadata operation, no data rewrite (days are lexicographic ISO dates,
+    so string comparison == date comparison). The manifest is rewritten
+    atomically (tmp + rename) without the expired days so a subsequent
+    ``refresh_tier`` does not consider them built; callers refreshing after
+    expiry must filter their input to the retention horizon
+    (``input_df.filter(col(day_col) >= cutoff)``), otherwise the expired
+    days are simply rebuilt — expiry is a policy, the manifest only records
+    state. Returns the list of days dropped."""
+    import shutil
+
+    tier_dir = os.path.join(base_path, f"tier={tier}")
+    dropped = []
+    if os.path.isdir(tier_dir):
+        for entry in sorted(os.listdir(tier_dir)):
+            if entry.startswith("day=") and entry[4:] < cutoff_day:
+                shutil.rmtree(os.path.join(tier_dir, entry))
+                dropped.append(entry[4:])
+    manifest = read_manifest(base_path, tier)
+    keep = {d: r for d, r in manifest.items() if d >= cutoff_day}
+    if len(keep) != len(manifest):
+        tmp = _manifest_path(base_path, tier) + ".tmp"
+        with open(tmp, "w") as fh:
+            for d in sorted(keep):
+                fh.write(json.dumps(keep[d], sort_keys=True) + "\n")
+        os.replace(tmp, _manifest_path(base_path, tier))
+    return dropped
+
+
+def apply_retention(
+    base_path: str, policies: dict[str, int], today: str
+) -> dict[str, list[str]]:
+    """Per-tier retention sweep: ``policies`` maps tier -> keep_days
+    (e.g. {"raw": 7, "1m": 90, "1h": 730}; omit a tier to keep it forever).
+    ``today`` is an ISO date string. Returns {tier: [dropped days]}."""
+    import datetime as _dt
+
+    t = _dt.date.fromisoformat(today)
+    out = {}
+    for tier, keep_days in policies.items():
+        cutoff = (t - _dt.timedelta(days=int(keep_days))).isoformat()
+        out[tier] = expire_tier(base_path, tier, cutoff)
+    return out

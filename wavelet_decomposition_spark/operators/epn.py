@@ -35,8 +35,20 @@ def epn(
     shape: str = "square",
     group_col: str = "series_id",
     dpy: int = 365,
+    exact: bool = True,
+    approx_accuracy: int = 10_000,
 ) -> DataFrame:
-    """Returns (group, scale_idx, satisfaction, pmax, emax, n, uf, serv)."""
+    """Returns (group, scale_idx, satisfaction, pmax, emax, n, uf, serv).
+
+    ``exact=False`` is the 100-TB escape hatch: the discharge threshold
+    comes from ``percentile_approx`` (a GK sketch with map-side partial
+    aggregation — one pass, no per-(group, scale) sort shuffle) instead of
+    the exact rank join. The reference's semantics demand the exact order
+    statistic (calc_EPN.py:23-33), so exact is the default and the oracle
+    path; the approximate threshold differs by at most one
+    1/approx_accuracy quantile step, and every downstream aggregate
+    (clamped sum, cycles, uf, serv) is still computed exactly against the
+    chosen threshold. Accuracy pinned in tests/test_epn.py."""
     time_scales = list(time_scales or TIME_SCALES_HOURS)
     scales_df = spark.createDataFrame(
         [(i, float(ts)) for i, ts in enumerate(time_scales)],
@@ -50,39 +62,65 @@ def epn(
         betas.filter(F.col("scale_idx") < F.lit(len(time_scales)))
         .select(group_col, "scale_idx", F.abs("beta").alias("abs_beta"))
     )
-    w = Window.partitionBy(group_col, "scale_idx").orderBy("abs_beta")
-    ranked = coeff.withColumn("rank", F.row_number().over(w))
-    sizes = coeff.groupBy(group_col, "scale_idx").agg(
-        F.count(F.lit(1)).alias("n_size")
-    )
+    if exact:
+        w = Window.partitionBy(group_col, "scale_idx").orderBy("abs_beta")
+        ranked = coeff.withColumn("rank", F.row_number().over(w))
+        sizes = coeff.groupBy(group_col, "scale_idx").agg(
+            F.count(F.lit(1)).alias("n_size")
+        )
 
-    # target rank per satisfaction: isatis + 1 (calc_EPN.py:23-24)
-    targets = (
-        sizes.crossJoin(F.broadcast(satis_df))
-        .select(
-            F.col(group_col).alias("_g"),
-            F.col("scale_idx").alias("_s"),
+        # target rank per satisfaction: isatis + 1 (calc_EPN.py:23-24)
+        targets = (
+            sizes.crossJoin(F.broadcast(satis_df))
+            .select(
+                F.col(group_col).alias("_g"),
+                F.col("scale_idx").alias("_s"),
+                "satisfaction",
+                "n_size",
+                F.ceil(F.col("satisfaction") * F.col("n_size") / 100.0)
+                .cast("int")
+                .alias("rank"),
+            )
+        )
+        thresholds = targets.join(
+            ranked,
+            on=[
+                targets["_g"] == ranked[group_col],
+                targets["_s"] == ranked["scale_idx"],
+                targets["rank"] == ranked["rank"],
+            ],
+        ).select(
+            F.col("_g").alias(group_col),
+            F.col("_s").alias("scale_idx"),
             "satisfaction",
             "n_size",
-            F.ceil(F.col("satisfaction") * F.col("n_size") / 100.0)
-            .cast("int")
-            .alias("rank"),
+            F.col("abs_beta").alias("thr"),
         )
-    )
-    thresholds = targets.join(
-        ranked,
-        on=[
-            targets["_g"] == ranked[group_col],
-            targets["_s"] == ranked["scale_idx"],
-            targets["rank"] == ranked["rank"],
-        ],
-    ).select(
-        F.col("_g").alias(group_col),
-        F.col("_s").alias("scale_idx"),
-        "satisfaction",
-        "n_size",
-        F.col("abs_beta").alias("thr"),
-    )
+    else:
+        # sketch path: one hash aggregate, partial-aggregated map-side —
+        # the per-(group, scale) sort shuffle disappears entirely
+        pcts = F.array(
+            *[F.lit(float(s) / 100.0) for s in satisfactions]
+        )
+        satis_lit = F.array(*[F.lit(float(s)) for s in satisfactions])
+        sk = coeff.groupBy(group_col, "scale_idx").agg(
+            F.percentile_approx(
+                "abs_beta", pcts, F.lit(int(approx_accuracy))
+            ).alias("_thrs"),
+            F.count(F.lit(1)).alias("n_size"),
+        )
+        thresholds = sk.select(
+            group_col,
+            "scale_idx",
+            "n_size",
+            F.posexplode("_thrs").alias("_i", "thr"),
+        ).select(
+            group_col,
+            "scale_idx",
+            F.element_at(satis_lit, F.col("_i") + 1).alias("satisfaction"),
+            "n_size",
+            "thr",
+        )
 
     # clamped sum against each threshold (thresholds table is tiny)
     clamped = (
