@@ -578,15 +578,18 @@ def _q_reconstruction_relational(spark, sf_dir):
     joined = recon.join(
         df.withColumnRenamed("value", "signal"), ["series_id", "year", "idx"]
     )
-    err = joined.agg(
-        (
-            F.sum(F.pow(F.col("value") - F.col("signal"), 2))
-            / F.sum(F.pow("signal", 2))
-        ).alias("_rel_err")
-    )
-    return joined.crossJoin(F.broadcast(err)).select(
+    # single lineage: the relative-error invariant is a window aggregate
+    # over the one joined result (referencing `joined` from two branches
+    # would recompute the whole decompose+reconstruct lineage twice)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("series_id", "year")
+    rel_err = F.sum(F.pow(F.col("value") - F.col("signal"), 2)).over(w) / F.sum(
+        F.pow("signal", 2)
+    ).over(w)
+    return joined.select(
         "series_id", "year", "idx", "value",
-        (F.col("_rel_err") < 1e-2).alias("invariant_ok"),
+        (rel_err < 1e-2).alias("invariant_ok"),
     )
 
 
@@ -682,14 +685,17 @@ def _q_transcript_rollup_1m(spark, sf_dir):
     from wavelet_decomposition_spark.io.transcripts import transcripts_df
     from wavelet_decomposition_spark.operators import activity, rollup
 
+    from pyspark.sql import Window
+
     tx = transcripts_df(spark, 200, seed=42)
     tier = rollup.rollup_once(activity.activity_raw(tx), "1m")
-    totals = tier.agg(F.sum("turns").alias("_tier_turns")).crossJoin(
-        F.broadcast(tx.agg(F.count(F.lit(1)).alias("_raw_turns")))
-    )
-    return tier.crossJoin(F.broadcast(totals)).select(
-        tier["*"],
-        (F.col("_tier_turns") == F.col("_raw_turns")).alias("invariant_ok"),
+    # tier total via a global window keeps the tier lineage single-pass;
+    # the raw count is a separate (cheap, deterministic-generator) lineage
+    raw_n = tx.agg(F.count(F.lit(1)).alias("_raw_turns"))
+    w = Window.partitionBy()
+    return tier.crossJoin(F.broadcast(raw_n)).select(
+        "conv_id", "bucket_ts", "turns", "chars", "tool_calls",
+        (F.sum("turns").over(w) == F.col("_raw_turns")).alias("invariant_ok"),
     )
 
 
@@ -708,20 +714,21 @@ def _q_dwt_energy(spark, sf_dir):
     filled = gapfill.gapfill_zero(
         tier, activity.ACTIVITY_COUNT_COLS, step="1 minute"
     ).cache()
+    from pyspark.sql import Window
+
     coefs = wavelet_ops.dwt_windows(filled, "turns", "db4", levels=4, window_len=64)
     spectrum = wavelet_ops.energy_spectrum(coefs)
     # Parseval self-check: db4 is orthonormal, so total coefficient energy
     # == input energy (zero-padding adds none) — rows-only gate can't pass
-    # on garbage coefficients
-    checks = spectrum.agg(F.sum("energy").alias("_coef_e")).crossJoin(
-        F.broadcast(
-            filled.agg(F.sum(F.col("turns") * F.col("turns")).alias("_in_e"))
-        )
-    )
-    return spectrum.crossJoin(F.broadcast(checks)).select(
-        spectrum["*"],
+    # on garbage coefficients. Global-window sum keeps the spectrum lineage
+    # single-pass (a two-branch agg+crossJoin re-ran the pyramid UDF);
+    # the input-energy side reads the cached `filled` tier.
+    in_e = filled.agg(F.sum(F.col("turns") * F.col("turns")).alias("_in_e"))
+    w = Window.partitionBy()
+    return spectrum.crossJoin(F.broadcast(in_e)).select(
+        "conv_id", "window_id", "wavelet", "level", "coef_type", "energy",
         (
-            F.abs(F.col("_coef_e") - F.col("_in_e"))
+            F.abs(F.sum("energy").over(w) - F.col("_in_e"))
             <= 1e-6 * F.greatest(F.col("_in_e"), F.lit(1.0))
         ).alias("parseval_ok"),
     )
@@ -745,19 +752,19 @@ def _q_modwt_energy(spark, sf_dir):
     filled = gapfill.gapfill_zero(
         tier, activity.ACTIVITY_COUNT_COLS, step="1 minute"
     ).cache()
+    from pyspark.sql import Window
+
     spectrum = wavelet_ops.energy_windows(
         filled, "turns", wavelet="db4", levels=4, window_len=64,
         transform="modwt",
     )
-    checks = spectrum.agg(F.sum("energy").alias("_coef_e")).crossJoin(
-        F.broadcast(
-            filled.agg(F.sum(F.col("turns") * F.col("turns")).alias("_in_e"))
-        )
-    )
-    return spectrum.crossJoin(F.broadcast(checks)).select(
-        spectrum["*"],
+    # same single-lineage window form as dwt_energy (see comment there)
+    in_e = filled.agg(F.sum(F.col("turns") * F.col("turns")).alias("_in_e"))
+    w = Window.partitionBy()
+    return spectrum.crossJoin(F.broadcast(in_e)).select(
+        "conv_id", "window_id", "wavelet", "level", "coef_type", "energy",
         (
-            F.abs(F.col("_coef_e") - F.col("_in_e"))
+            F.abs(F.sum("energy").over(w) - F.col("_in_e"))
             <= 1e-6 * F.greatest(F.col("_in_e"), F.lit(1.0))
         ).alias("parseval_ok"),
     )
@@ -907,23 +914,24 @@ def _betas_with_golden_parity(spark, shape, signals, years):
         _GOLDEN_CACHE[gkey] = gpdf
     golden = spark.createDataFrame(gpdf)
 
-    per_year = (
-        betas.join(golden, ["series_id", "year", "scale_idx", "pos"])
-        .groupBy("series_id", "year")
-        .agg(
-            F.count(F.lit(1)).alias("n_joined"),
-            F.max(F.abs(F.col("beta") - F.col("golden"))).alias("max_abs_err"),
-        )
-    )
-    return betas.join(F.broadcast(per_year), ["series_id", "year"]).select(
+    # single lineage: joining betas to golden once and deriving the
+    # per-(series, year) parity via window aggregates avoids referencing
+    # the betas DataFrame twice — two branches would recompute every LSQR
+    # solve (measured: 2x the solve wall). The inner join + count==23,423
+    # guard still catches missing or duplicated coefficients.
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("series_id", "year")
+    return betas.join(golden, ["series_id", "year", "scale_idx", "pos"]).select(
         "series_id",
         "year",
         "scale_idx",
         "pos",
         "beta",
-        ((F.col("n_joined") == 23423) & (F.col("max_abs_err") <= 1e-9)).alias(
-            "invariant_ok"
-        ),
+        (
+            (F.count(F.lit(1)).over(w) == 23423)
+            & (F.max(F.abs(F.col("beta") - F.col("golden"))).over(w) <= 1e-9)
+        ).alias("invariant_ok"),
     )
 
 
