@@ -72,6 +72,29 @@ def test_shingle_pipeline_no_inferred_filter(spark):
     assert "Filter" not in plan
 
 
+def test_invariant_queries_single_lineage(spark, queries):
+    """The self-verifying driver queries must compute their invariant as a
+    window aggregate over ONE lineage: referencing the solve/pyramid
+    DataFrame from two plan branches (agg + crossJoin back) recomputes the
+    whole expensive lineage twice — full_decomposition re-ran all 21 LSQR
+    solves (round-3 fix). Pin the Python-stage counts: one resample + one
+    decompose FlatMapGroupsInPandas per dictionary-shape branch, and one
+    pyramid stage for the energy queries."""
+    # full: square branch (resample+decompose) + sine branch = 4 stages
+    plan = _plan(queries["full_decomposition"](spark, SF_DIR), "simple")
+    assert plan.count("FlatMapGroupsInPandas") == 4
+    # single shape: exactly 2 (resample + decompose)
+    plan = _plan(queries["wavelet_betas_sine"](spark, SF_DIR), "simple")
+    assert plan.count("FlatMapGroupsInPandas") == 2
+    # 3 = resample twice (it feeds both the solve and the signal side of
+    # the error join — a cheap np.interp pass) + ONE decompose solve stage
+    plan = _plan(queries["reconstruction_relational"](spark, SF_DIR), "simple")
+    assert plan.count("FlatMapGroupsInPandas") == 3
+    # energy queries: one pyramid pass over the cached tier
+    plan = _plan(queries["modwt_energy"](spark, SF_DIR), "simple")
+    assert plan.count("FlatMapGroupsInPandas") == 1
+
+
 def test_wavelet_stage_single_shuffle(spark):
     """The pyramid stage adds exactly one exchange (the bucket repartition);
     the groupBy reuses that clustering instead of shuffling again."""
