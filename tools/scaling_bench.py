@@ -74,7 +74,8 @@ def run_one(cores: int, tx_path: str) -> None:
     spark = build_session(app_name=f"wds-scale-{cores}", cores=cores)
     spark.sparkContext.setLogLevel("ERROR")
     walls = []
-    for _ in range(3):
+    for _ in range(4):  # cold + three warm: episodic host noise on this
+        # shared guest hits single runs 1.3-2x; min-of-three warm suppresses
         t0 = time.time()
         n_turns = flagship_pipeline(spark, tx_path)
         walls.append(time.time() - t0)
@@ -89,16 +90,21 @@ def run_one(cores: int, tx_path: str) -> None:
     spark.stop()
 
 
-DOCS_MULT = int(os.environ.get("SPARK_GRAFT_SCALE_DOCS_MULT", "10"))
+DOCS_MULT = int(os.environ.get("SPARK_GRAFT_SCALE_DOCS_MULT", "100"))
 
 
 def materialize_docs(mult: int) -> str:
-    """Scaled documents input for the dedup scaling point: the sf0.1
-    documents table replicated ``mult`` times with offset ids and a per-copy
-    suffix token (copies stay near-dups of their original, j ~ 0.9+, so the
-    LSH buckets and the verification join carry realistic duplicate load).
-    Deterministic; written once with a fixed split count so every
-    parallelism level sees the same well-split scan."""
+    """Scaled documents input for the dedup scaling point: each sf0.1
+    document expanded into ``mult`` variants arranged in PAIRS — variants
+    (2k, 2k+1) share a distinct 25-token suffix block and differ by one
+    token (jaccard ~0.95: a true near-dup pair), while different pairs'
+    suffix blocks keep cross-pair jaccard ~0.65 (below the 0.8 operating
+    point). Near-dup load therefore grows LINEARLY with the corpus (one
+    verified pair per variant pair), matching a real corpus's duplicate
+    rate — naive replication would make every variant group an all-pairs
+    clique and the verification join quadratic in ``mult``, which measures
+    the fixture, not the engine. Deterministic; written once with a fixed
+    split count so every parallelism level sees the same well-split scan."""
     import tempfile
 
     path = f"{tempfile.gettempdir()}/wds_scale_docs_{mult}x"
@@ -114,9 +120,12 @@ def materialize_docs(mult: int) -> str:
     n = docs.agg(F.max("doc_id")).collect()[0][0] + 1
     parts = []
     for i in range(mult):
+        k = i // 2
+        suffix = " " + " ".join(f"blk{k}tok{j}" for j in range(25)) if k else ""
+        if i % 2:
+            suffix += " oddvariant"
         text = (
-            F.col("text") if i == 0
-            else F.concat(F.col("text"), F.lit(f" copymark{i}"))
+            F.concat(F.col("text"), F.lit(suffix)) if suffix else F.col("text")
         )
         parts.append(
             docs.select(
@@ -149,7 +158,7 @@ def run_one_dedup(cores: int, docs_path: str) -> None:
     docs = spark.read.parquet(docs_path)
     n_docs = docs.count()
     walls, n_pairs = [], 0
-    for _ in range(3):
+    for _ in range(4):  # cold + three warm (same protocol as the flagship)
         t0 = time.time()
         pairs = ngram_jaccard_pairs_bounded(docs, threshold=0.8)
         n_pairs = pairs.groupBy().count().collect()[0][0]
