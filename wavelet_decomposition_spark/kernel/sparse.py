@@ -20,9 +20,22 @@ import numpy as np
 
 
 class CSRMatrix:
-    """Compressed-sparse-row float64 matrix supporting matvec / rmatvec."""
+    """Compressed-sparse-row float64 matrix supporting matvec / rmatvec.
 
-    __slots__ = ("data", "indices", "indptr", "shape", "_row_lens", "_row_ids")
+    Both matvecs are segment sums over contiguous runs (``np.add.reduceat``)
+    — measured 1.8x faster than ``np.add.at``/``bincount`` scatter-adds on
+    the 373k-nnz wavelet dictionaries, and these two calls are the inner
+    loop of every LSQR iteration (~700 per solve). ``rmatvec`` gets its
+    contiguous runs from a lazily built CSC view (one lexsort per matrix,
+    ~30 ms, amortized over the whole solve). Matrices with empty rows /
+    columns fall back to ``bincount`` (``reduceat`` is ill-defined on
+    zero-length segments); the wavelet dictionaries have none (every time
+    point is covered by Phi0, every column is a wavelet with support)."""
+
+    __slots__ = (
+        "data", "indices", "indptr", "shape", "_row_lens", "_row_ids",
+        "_rows_ok", "_csc_data", "_csc_rows", "_csc_colptr", "_cols_ok",
+    )
 
     def __init__(self, data, indices, indptr, shape):
         self.data = np.asarray(data, dtype=np.float64)
@@ -34,6 +47,11 @@ class CSRMatrix:
         self._row_ids = np.repeat(
             np.arange(self.shape[0], dtype=np.int64), self._row_lens
         )
+        self._rows_ok = bool(self.data.size) and not (self._row_lens == 0).any()
+        self._csc_data = None
+        self._csc_rows = None
+        self._csc_colptr = None
+        self._cols_ok = False
 
     @property
     def nnz(self) -> int:
@@ -42,12 +60,29 @@ class CSRMatrix:
     def matvec(self, x: np.ndarray) -> np.ndarray:
         """y = A @ x  (len m)."""
         prod = self.data * x[self.indices]
-        out = np.zeros(self.shape[0], dtype=np.float64)
-        np.add.at(out, self._row_ids, prod)
-        return out
+        if self._rows_ok:
+            return np.add.reduceat(prod, self.indptr[:-1])
+        return np.bincount(
+            self._row_ids, weights=prod, minlength=self.shape[0]
+        ).astype(np.float64)
+
+    def _build_csc(self) -> None:
+        order = np.lexsort((self._row_ids, self.indices))
+        self._csc_data = self.data[order]
+        self._csc_rows = self._row_ids[order]
+        col_lens = np.bincount(self.indices, minlength=self.shape[1])
+        self._csc_colptr = np.concatenate(
+            ([0], np.cumsum(col_lens))
+        ).astype(np.int64)
+        self._cols_ok = bool(self.data.size) and not (col_lens == 0).any()
 
     def rmatvec(self, y: np.ndarray) -> np.ndarray:
         """x = A.T @ y  (len n)."""
+        if self._csc_data is None:
+            self._build_csc()
+        if self._cols_ok:
+            prod = self._csc_data * y[self._csc_rows]
+            return np.add.reduceat(prod, self._csc_colptr[:-1])
         prod = self.data * y[self._row_ids]
         return np.bincount(
             self.indices, weights=prod, minlength=self.shape[1]
