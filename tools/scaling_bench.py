@@ -96,15 +96,22 @@ DOCS_MULT = int(os.environ.get("SPARK_GRAFT_SCALE_DOCS_MULT", "100"))
 def materialize_docs(mult: int) -> str:
     """Scaled documents input for the dedup scaling point: each sf0.1
     document expanded into ``mult`` variants arranged in PAIRS — variants
-    (2k, 2k+1) share a distinct 25-token suffix block and differ by one
-    token (jaccard ~0.95: a true near-dup pair), while different pairs'
-    suffix blocks keep cross-pair jaccard ~0.65 (below the 0.8 operating
-    point). Near-dup load therefore grows LINEARLY with the corpus (one
-    verified pair per variant pair), matching a real corpus's duplicate
-    rate — naive replication would make every variant group an all-pairs
-    clique and the verification join quadratic in ``mult``, which measures
-    the fixture, not the engine. Deterministic; written once with a fixed
-    split count so every parallelism level sees the same well-split scan."""
+    (2k, 2k+1) share a 150-token body block UNIQUE to that (doc, k) and
+    differ by one token (jaccard ~0.97: a true near-dup pair). Every other
+    relationship — other pairs of the same doc, any variant of any other
+    doc — shares at most the short base text, jaccard ~0.15, far below the
+    16x4 LSH S-curve at the 0.8 operating point, so CANDIDATE volume grows
+    linearly with the corpus, like a real corpus's duplicate rate.
+
+    Two rejected designs, kept as a warning: naive replication makes every
+    variant group an all-pairs clique (quadratic verification in ``mult``),
+    and short/shared suffix blocks leave cross-variant jaccard at 0.5-0.65
+    — inside the LSH S-curve — which explodes the candidate join with
+    pairs that verification then discards (measured: a 5,000x slowdown
+    from exactly this). Both measure the fixture, not the engine.
+
+    Deterministic; written once with a fixed split count so every
+    parallelism level sees the same well-split scan."""
     import tempfile
 
     path = f"{tempfile.gettempdir()}/wds_scale_docs_{mult}x"
@@ -121,12 +128,24 @@ def materialize_docs(mult: int) -> str:
     parts = []
     for i in range(mult):
         k = i // 2
-        suffix = " " + " ".join(f"blk{k}tok{j}" for j in range(25)) if k else ""
+        if k:
+            # 150 tokens, each embedding (doc_id, k): unique per (doc, k)
+            block = F.concat_ws(
+                " ",
+                *[
+                    F.concat(
+                        F.lit("b"),
+                        F.col("doc_id").cast("string"),
+                        F.lit(f"k{k}t{j}"),
+                    )
+                    for j in range(150)
+                ],
+            )
+            text = F.concat(F.col("text"), F.lit(" "), block)
+        else:
+            text = F.col("text")
         if i % 2:
-            suffix += " oddvariant"
-        text = (
-            F.concat(F.col("text"), F.lit(suffix)) if suffix else F.col("text")
-        )
+            text = F.concat(text, F.lit(" oddvariant"))
         parts.append(
             docs.select(
                 (F.col("doc_id") + F.lit(i * n)).alias("doc_id"),
