@@ -472,8 +472,15 @@ def _q_conversation_stats_skew(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 def _q_fft_spectrum(spark, sf_dir):
-    """A7 — one-sided demeaned FFT magnitude spectrum per (series, year)."""
+    """A7 — one-sided demeaned FFT magnitude spectrum per (series, year),
+    self-verifying: ``parseval_ok`` = one-sided coefficient energy (window
+    aggregate over the FULL spectrum, computed before the display filter)
+    equals the demeaned input energy to 1e-4 relative (the omitted Nyquist
+    bin contributes ~1e-7 on this signal) — the rows-only gate cannot pass
+    on garbage magnitudes."""
     _prep(spark)
+    from pyspark.sql import Window
+
     from wavelet_decomposition_spark.io.electricity import electricity_df
     from wavelet_decomposition_spark.operators import series as ser
     from wavelet_decomposition_spark.operators.resample import resample_per_year
@@ -483,7 +490,24 @@ def _q_fft_spectrum(spark, sf_dir):
     df = ser.leap_trim(df, 48 * 365)
     df = ser.normalize_yearly_mean(df)
     df = resample_per_year(df, 48, 64, 365)
-    return fft_spectrum(df).filter(F.col("freq_idx") < 2048)
+    in_e = df.groupBy("series_id", "year").agg(
+        (
+            F.sum(F.col("value") * F.col("value"))
+            - F.count(F.lit(1)) * F.pow(F.avg("value"), 2)
+        ).alias("_in_e")
+    )
+    spec = fft_spectrum(df).join(F.broadcast(in_e), ["series_id", "year"])
+    w = Window.partitionBy("series_id", "year")
+    n = 2 * F.count(F.lit(1)).over(w)  # full length N = 2 * one-sided bins
+    coef_e = 2.0 * F.sum(
+        F.pow(F.col("magnitude") * n / 2.0, 2)
+    ).over(w)
+    return spec.select(
+        "series_id", "year", "freq_idx", "magnitude",
+        (
+            F.abs(coef_e - n * F.col("_in_e")) <= 1e-4 * n * F.col("_in_e")
+        ).alias("parseval_ok"),
+    ).filter(F.col("freq_idx") < 2048)
 
 
 def _q_reconstruction_roundtrip(spark, sf_dir):
@@ -856,22 +880,12 @@ def _q_simhash_near(spark, sf_dir):
 
 
 def _q_wavelet_betas_golden(spark, sf_dir):
-    """Reference flagship: one (signal, year) LSQR decomposition; golden
-    parity asserted in tests/, here exercised end-to-end for the driver."""
+    """Reference flagship: one (signal, year) LSQR decomposition, with the
+    golden-parity invariant (<= 1e-9 vs the exported 2013 Consumption
+    sheet) riding on every row — same self-verification as
+    full_decomposition, single-year scope."""
     _prep(spark)
-    from wavelet_decomposition_spark.io import reference_data as rd
-    from wavelet_decomposition_spark.io.electricity import electricity_df
-    from wavelet_decomposition_spark.operators import decompose as dec
-    from wavelet_decomposition_spark.operators import series as ser
-    from wavelet_decomposition_spark.operators.resample import resample_per_year
-
-    df = electricity_df(spark, signals=["Consumption"], years=[2013])
-    df = ser.leap_trim(df, 48 * 365)
-    df = ser.normalize_yearly_mean(df)
-    df = resample_per_year(df, 48, 64, 365)
-    trans = rd.load_translations("square")
-    bc = dec.broadcast_dictionaries(spark, "square", {2013: trans[1]})
-    return dec.decompose(df, bc)
+    return _betas_with_golden_parity(spark, "square", ["Consumption"], [2013])
 
 
 # per-session memo for the reference dictionaries and the parsed golden
