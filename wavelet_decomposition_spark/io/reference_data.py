@@ -116,6 +116,9 @@ def load_golden_betas_long(
     return pd.concat(frames, ignore_index=True)
 
 
+_INPUT_CACHE: dict = {}
+
+
 def load_input_series(
     root: str = REFERENCE_ROOT,
 ) -> tuple[dict[str, dict[int, np.ndarray]], list[int]]:
@@ -123,8 +126,12 @@ def load_input_series(
 
     Mirrors the read step of /root/reference/import_excel.py:22-39 (skip the
     title row, header names the columns); trimming/normalizing/resampling are
-    engine operators, applied downstream.
+    engine operators, applied downstream. Memoized per process (read-only
+    golden artifact; eight driver queries start from this workbook and the
+    stdlib parse costs ~1 s each).
     """
+    if root in _INPUT_CACHE:
+        return _INPUT_CACHE[root]
     wb = XlsxFile(f"{root}/input_time_series.xlsx")
     signals = ("Consumption", "Wind", "PV")
     out: dict[str, dict[int, np.ndarray]] = {s: {} for s in signals}
@@ -142,4 +149,5 @@ def load_input_series(
                 vals.append(float(col[r]))
                 r += 1
             out[sig][int(sheet)] = np.asarray(vals, dtype=np.float64)
+    _INPUT_CACHE[root] = (out, years)
     return out, years
