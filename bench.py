@@ -131,23 +131,35 @@ def main():
         "turns", wavelet="haar", levels=2, window_len=16,
         sparse_fill_step="1 minute",
     ))
-    # Every measurement below: cold run (includes per-query-shape codegen +
-    # JIT — measured at 3-10s of pure compile time per novel plan shape on
-    # this VM) then warm run. "queries"/"value" carry the WARM steady state
-    # — the operating point of a long-running deployment and the same
-    # protocol scaling_bench.py documents; cold walls are published
-    # alongside in "queries_cold".
+    # Every measurement below: one cold run (includes per-query-shape
+    # codegen + JIT — measured at 3-10s of pure compile time per novel plan
+    # shape on this VM) then WARM_REPEATS warm runs. "queries"/"value"
+    # carry the MIN of the warm repeats — this shared-host VM shows
+    # episodic 2-4x slowdowns on memory-bound stages from invisible
+    # neighbor interference (identical back-to-back jobs legitimately
+    # differ 3x; BENCH.md documents an 86s-vs-52s identical-code pair), so
+    # a single warm sample can enshrine a noisy window as the official
+    # record (it did, in BENCH_r03). Min-of-N-warm is the same protocol
+    # tools/scaling_bench.py already uses; every raw wall (cold + all warm
+    # repeats) is published alongside in "queries_cold"/"queries_raw" so
+    # nothing is hidden.
+    warm_repeats = int(os.environ.get("SPARK_GRAFT_WARM_REPEATS", "2"))
     cold: dict[str, float] = {}
+    raw: dict[str, list[float]] = {}
 
-    def run_twice(name, fn):
+    def run_timed(name, fn):
         t0 = time.time()
         fn()
         cold[name] = round(time.time() - t0, 3)
-        t0 = time.time()
-        fn()
-        timings[name] = round(time.time() - t0, 3)
+        walls = []
+        for _ in range(warm_repeats):
+            t0 = time.time()
+            fn()
+            walls.append(round(time.time() - t0, 3))
+        raw[name] = walls
+        timings[name] = min(walls)
 
-    run_twice("flagship_rollup_wavelet", lambda: flagship_pipeline(spark, tx_path))
+    run_timed("flagship_rollup_wavelet", lambda: flagship_pipeline(spark, tx_path))
     flagship_sec = timings["flagship_rollup_wavelet"]
     n_turns = flagship_pipeline.last_n_turns
 
@@ -157,6 +169,10 @@ def main():
         "pricing_summary", "nation_revenue", "dedup_groups", "ngram_jaccard",
         "ngram_jaccard_bounded", "doc_stats", "ann_topk", "minhash_pairs",
         "simhash_near", "gorilla_blocks", "translation_search", "sessionize",
+        # the reference's complete E3 offline job (3 families x 23,360
+        # LSQR fits, golden-parity invariant riding on every row) —
+        # reference-equivalent cost: "hours single-core per year"
+        "translation_full",
         # the reference's full E1 flagship: all 21 series-year LSQR solves
         # (7yr x {Consumption,PV} square + 7yr x Wind sine) with golden
         # parity riding on every row; reference-equivalent single-core
@@ -165,19 +181,22 @@ def main():
     ]
     qs = entrymod.queries()
     for name in bench_queries:
-        run_twice(name, lambda name=name: _noop(qs[name](spark, sf_dir)))
+        run_timed(name, lambda name=name: _noop(qs[name](spark, sf_dir)))
 
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
             {
                 "metric": "rollup+wavelet pipeline + operator suite wall "
-                          "time (warm steady state; cold incl. codegen/JIT "
-                          "in queries_cold)",
+                          "time (min of warm repeats — noise-robust; cold "
+                          "incl. codegen/JIT in queries_cold; every raw "
+                          "warm wall in queries_raw)",
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
                 "queries_cold": cold,
+                "queries_raw": raw,
+                "warm_repeats": warm_repeats,
                 "sf": sf,
                 "n_turns": n_turns,
                 "turns_per_sec": round(n_turns / flagship_sec, 1),

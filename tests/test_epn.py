@@ -53,6 +53,37 @@ def test_epn_matches_numpy_oracle(spark):
     assert len(result) == 15 * len(SATIS)
 
 
+def test_epn_satisfaction_zero_edge(spark):
+    """satis == 0 makes the reference's isatis = ceil(satis*n/100) - 1
+    come out as -1, which Python negative indexing resolves to the LARGEST
+    |beta| (calc_EPN.py:32-33 — an accident, but it IS the reference
+    behavior). The rank join must reproduce it instead of silently dropping
+    the (group, scale, satisfaction) cell (round-3 verdict nit): a raw rank
+    of 0 maps to rank n. Note ceil() of any POSITIVE satisfaction is >= 1,
+    so the edge fires only at exactly 0 (a tiny positive satisfaction
+    instead selects the MINIMUM |beta| — rank 1 — where the reference
+    divides by a possibly-zero threshold and silently yields inf/nan under
+    np.errstate; that input is the caller's problem in both engines). The
+    numpy oracle replicates the negative indexing naturally, so oracle
+    equality covers both the threshold and every downstream aggregate."""
+    satis = [0.0, 50.0]
+    stacked = _stacked_golden("Consumption")
+    oracle = calc_epn(stacked, satis, TIME_SCALES_HOURS, dpy=365, load_factor=1.0)
+
+    betas = _betas_df(spark, stacked)
+    result = epn(spark, betas, satis, n_years=7).toPandas()
+    assert len(result) == 15 * len(satis), "a satisfaction cell was dropped"
+    for _, r in result.iterrows():
+        i = int(r.scale_idx)
+        s = satis.index(r.satisfaction)
+        np.testing.assert_allclose(r.pmax, oracle["pmax"][i, s], rtol=1e-9)
+        np.testing.assert_allclose(r.n, oracle["n"][i, s], rtol=1e-9)
+        np.testing.assert_allclose(r.serv, oracle["serv"][i, s], rtol=1e-9)
+    # and the edge really fired: at satis=0.0 the threshold IS max|beta|
+    for i in range(15):
+        assert oracle["pmax"][i, 0] == np.abs(stacked[i]).max()
+
+
 def test_epn_approx_percentile_escape_hatch(spark):
     """exact=False replaces the rank-join order statistic with a
     percentile_approx sketch (no per-(group, scale) sort shuffle — the

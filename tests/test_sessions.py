@@ -95,12 +95,14 @@ def _drain(q):
 
 
 def test_stream_sessionize_drops_cross_batch_late_events(spark, tmp_path):
-    """An event arriving in a LATER micro-batch at or before the open
+    """An event arriving in a LATER micro-batch strictly before the open
     session's newest event is dropped (round-2 advisory): emitted sessions
     are append-only, so state must never regress — without the guard a late
     batch computed a negative gap (never a break) and rewound last_us,
-    corrupting every later session. Closed sessions must equal the batch
-    form over the ACCEPTED events only."""
+    corrupting every later session. An event at EXACTLY the newest
+    timestamp is a distinct event and is accepted (gap-0 extension,
+    round-3 advisory — the batch form counts both). Closed sessions must
+    equal the batch form over the ACCEPTED events only."""
     import glob
     import os
     import shutil
@@ -131,6 +133,9 @@ def test_stream_sessionize_drops_cross_batch_late_events(spark, tmp_path):
     _append(
         [
             (3, _ts(30), 1, 100.0),      # LATE: before last_us -> dropped
+            (7, _ts(60), 1, 0.5),        # EQUAL ts to last_us: a distinct
+            #   event straddling the micro-batch boundary — ACCEPTED with
+            #   gap 0, matching the batch form's count (round-3 advisory)
             (4, _ts(120), 1, 4.0),       # extends the open session
             (5, _ts(3600 * 3), 1, 8.0),  # gap > 30min -> closes session 1
             (6, _ts(86400 * 30), 1, 0.0),  # sentinel closes session 2
@@ -146,11 +151,12 @@ def test_stream_sessionize_drops_cross_batch_late_events(spark, tmp_path):
         .reset_index(drop=True)
     )
     assert len(got) == 2
-    # session 1: the three accepted events; the late 100.0 never counted
+    # session 1: the four accepted events (incl. the equal-ts straddler);
+    # the late 100.0 never counted
     assert got.loc[0, "session_start"] == t
     assert got.loc[0, "session_end"] == t + pd.Timedelta(seconds=120)
-    assert got.loc[0, "n_events"] == 3
-    assert got.loc[0, "total_value"] == 7.0
+    assert got.loc[0, "n_events"] == 4
+    assert got.loc[0, "total_value"] == 7.5
     # session 2: the 13:00 singleton
     assert got.loc[1, "n_events"] == 1
     assert got.loc[1, "total_value"] == 8.0

@@ -72,9 +72,27 @@ def main():
             continue
         el = time.time() - t0
         if name not in oracles:
-            print(f"rows  {name}: {len(sdf)} rows ({el:.1f}s, rows-only)")
+            # rows-only gate: row count > 0 AND every self-verifying
+            # invariant column (boolean *_ok) all-true — a rows-only query
+            # whose invariant is False or null on any row FAILS here, so
+            # the gate cannot pass on garbage values (round-3 advisory)
+            ok_cols = [c for c in sdf.columns if c.endswith("_ok")]
+            bad = []
+            for c in ok_cols:
+                vals = sdf[c]
+                if vals.isnull().any() or not vals.astype(bool).all():
+                    bad.append(c)
+            n_ok = len(ok_cols)
+            print(
+                f"rows  {name}: {len(sdf)} rows ({el:.1f}s, rows-only, "
+                f"{n_ok} invariant col{'s' if n_ok != 1 else ''})"
+            )
             if len(sdf) == 0 and name != "noop":
                 failures.append((name, "0 rows"))
+            if bad:
+                failures.append(
+                    (name, f"invariant column(s) not all-true: {bad}")
+                )
             continue
         try:
             odf = con.execute(oracles[name]).df()

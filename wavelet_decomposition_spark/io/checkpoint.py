@@ -25,7 +25,7 @@ from __future__ import annotations
 import json
 import os
 import threading
-from concurrent.futures import ThreadPoolExecutor
+from concurrent.futures import ThreadPoolExecutor, as_completed
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -95,7 +95,17 @@ def refresh_tier(
     serialized under a lock; per-day atomicity semantics are unchanged (a
     crash between partition write and manifest append just rewrites that
     day on resume, byte-identical). Concurrency + resume are pinned by
-    tests/test_checkpoint.py."""
+    tests/test_checkpoint.py.
+
+    CONTRACT: ``compute_fn`` is called from up to ``max_concurrency`` driver
+    threads at once and must be thread-safe — build the day's plan from the
+    passed slice only (pure DataFrame composition is safe; mutating shared
+    driver state, a shared numpy scratch buffer, or ``spark.conf`` is not).
+    Pass ``max_concurrency=1`` for a legacy compute_fn that cannot promise
+    this. On the first failed day, not-yet-started days are CANCELLED (a
+    systematic failure does not burn the whole backfill) and the first
+    exception is re-raised; days already completed keep their manifest rows,
+    so the resume point is exact."""
     fps = partition_fingerprints(input_df, day_col)
     manifest = read_manifest(base_path, tier)
     todo = [
@@ -131,13 +141,21 @@ def refresh_tier(
                 },
             )
 
-    with ThreadPoolExecutor(
-        max_workers=max(1, min(max_concurrency, len(todo)))
-    ) as pool:
-        # list() propagates the first worker exception; completed days have
-        # already appended their manifest rows, so a failed backfill resumes
-        # exactly where it stopped
-        list(pool.map(_build, todo))
+    pool = ThreadPoolExecutor(max_workers=max(1, min(max_concurrency, len(todo))))
+    try:
+        futures = {pool.submit(_build, day): day for day in todo}
+        failed: Exception | None = None
+        for fut in as_completed(futures):
+            exc = fut.exception()
+            if exc is not None and failed is None:
+                failed = exc
+                # stop queuing: days not yet started are cancelled; in-flight
+                # days run to completion (their manifest rows stay valid)
+                pool.shutdown(wait=False, cancel_futures=True)
+        if failed is not None:
+            raise failed
+    finally:
+        pool.shutdown(wait=True)
     return todo
 
 

@@ -71,6 +71,22 @@ def load_golden_matrix(shape: str, year: int, root: str = REFERENCE_ROOT) -> CSR
     return load_npz_csr(f"{root}/saved_matrix/{sub}/A_{year}.npz")
 
 
+_WORKBOOK_CACHE: dict[str, XlsxFile] = {}
+
+
+def _open_workbook(path: str) -> XlsxFile:
+    """Per-process memo of parsed golden workbooks (read-only artifacts):
+    one betas workbook serves 7 year-sheets across 7 loader calls, and the
+    XlsxFile instance memoizes each sheet's parse — so every sheet XML is
+    parsed exactly once per process instead of ~17x7 times (the dominant
+    cold-start cost of the golden-parity driver queries)."""
+    wb = _WORKBOOK_CACHE.get(path)
+    if wb is None:
+        wb = XlsxFile(path)
+        _WORKBOOK_CACHE[path] = wb
+    return wb
+
+
 def load_golden_betas(
     signal: str, year: int, root: str = REFERENCE_ROOT
 ) -> list[np.ndarray]:
@@ -78,7 +94,7 @@ def load_golden_betas(
     scale_idx order (finest -> coarsest, then offset) — the exported column
     layout of /root/reference/wavelet_decomposition.py:294-295."""
     shape_dir = "sine_shape" if signal == "Wind" else "square_shape"
-    wb = XlsxFile(f"{root}/betas/{shape_dir}/betas_{signal}.xlsx")
+    wb = _open_workbook(f"{root}/betas/{shape_dir}/betas_{signal}.xlsx")
     sheet = str(year)
     out = []
     for col in range(16):

@@ -56,6 +56,7 @@ class XlsxFile:
                 self._shared.append("".join(_IS_RE.findall(si)))
         except KeyError:
             pass
+        self._columns_cache: dict[str, dict[int, dict[int, object]]] = {}
 
     def cells(self, sheet_name: str):
         """Yield (row0, col0, value) — value float for numeric cells, str for
@@ -84,10 +85,19 @@ class XlsxFile:
                 yield int(row) - 1, _col_to_idx(letters), float(raw)
 
     def columns(self, sheet_name: str) -> dict[int, dict[int, object]]:
-        """{col0: {row0: value}} for one sheet."""
+        """{col0: {row0: value}} for one sheet, memoized per instance: the
+        golden coefficient loaders read one column at a time, and without
+        the memo each of a sheet's 16 scale columns re-parsed the whole
+        sheet XML (~50 ms) — 17x the cold-start cost of every
+        golden-parity driver query (measured 18.6 s of the
+        full_decomposition cold wall; round-3 verdict item)."""
+        cached = self._columns_cache.get(sheet_name)
+        if cached is not None:
+            return cached
         out: dict[int, dict[int, object]] = {}
         for r, c, v in self.cells(sheet_name):
             out.setdefault(c, {})[r] = v
+        self._columns_cache[sheet_name] = out
         return out
 
     def column_floats(self, sheet_name: str, col0: int, skip_rows: int = 0):

@@ -48,17 +48,25 @@ def _spread(df: DataFrame, factor: int = 2) -> DataFrame:
     Small inputs often arrive as a handful of file splits (the sf fixtures
     are ONE split), which would run the 64-permutation explode+aggregate in
     a single task. The split estimate uses ``inputFiles()`` — a
-    metadata-only listing, no RDD plan conversion (``df.rdd`` forces a
-    full plan translation per call): at real scale a 100-TB corpus has
-    orders of magnitude more files than cores and this is a no-op; only
-    under-split scans (or non-file-backed test DataFrames) pay one
-    repartition."""
+    metadata-only listing, no RDD plan conversion: at real scale a 100-TB
+    corpus has orders of magnitude more files than cores and this is a
+    no-op; only under-split scans pay one repartition. A NON-file-backed
+    input (createDataFrame, post-shuffle derivation) lists zero files; only
+    on that branch is the RDD partition count consulted (one plan
+    translation) so an already-well-partitioned input is respected rather
+    than unconditionally reshuffled (round-3 advisory)."""
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism * factor
     try:
         n_splits = len(df.inputFiles())
     except Exception:
         n_splits = 0
+    if n_splits == 0:
+        # not file-backed: fall back to the plan's actual partitioning
+        try:
+            n_splits = df.rdd.getNumPartitions()
+        except Exception:
+            n_splits = 0
     if n_splits >= target:
         return df
     return df.repartition(target)

@@ -69,7 +69,18 @@ def epn(
             F.count(F.lit(1)).alias("n_size")
         )
 
-        # target rank per satisfaction: isatis + 1 (calc_EPN.py:23-24)
+        # target rank per satisfaction: isatis + 1 (calc_EPN.py:23-24).
+        # Edge case satis == 0 (ceil of any positive value is >= 1, so
+        # only exactly-zero fires it): the reference computes
+        # isatis = ceil(satis*n/100) - 1 = -1, and Python's negative
+        # indexing silently selects the LARGEST |beta| (calc_EPN.py:32-33).
+        # The rank join must reproduce that, not drop the cell: a raw
+        # rank of 0 matches no row_number, so it is mapped to rank n
+        # (the max order statistic) — pinned by
+        # tests/test_epn.py::test_epn_satisfaction_zero_edge.
+        raw_rank = F.ceil(
+            F.col("satisfaction") * F.col("n_size") / 100.0
+        ).cast("int")
         targets = (
             sizes.crossJoin(F.broadcast(satis_df))
             .select(
@@ -77,8 +88,8 @@ def epn(
                 F.col("scale_idx").alias("_s"),
                 "satisfaction",
                 "n_size",
-                F.ceil(F.col("satisfaction") * F.col("n_size") / 100.0)
-                .cast("int")
+                F.when(raw_rank <= 0, F.col("n_size"))
+                .otherwise(raw_rank)
                 .alias("rank"),
             )
         )

@@ -15,16 +15,22 @@ more than ``gap`` after it.
 
 Late-data contract (guarded, not assumed): events are sorted within each
 micro-batch, but an event that arrives in a LATER micro-batch with
-``ts <= last_us`` (at or before the open session's newest event) is
+``ts < last_us`` (strictly before the open session's newest event) is
 DROPPED — emitted sessions are append-only and already-closed sessions can
 never be reopened, so retro-patching state would corrupt rather than
 repair. Without the guard a late batch would compute a negative gap (never
 a session break) and then regress ``last_us``, silently extending or
-splitting subsequent sessions. Cross-micro-batch late events instead take
-the engine's batch late-data route: deterministic re-aggregation of the
-affected window from the raw tier (io/checkpoint.refresh_tier), which is
-how the north rule handles lateness everywhere else. ``last_us`` is also
-updated with ``max(last_us, ts[-1])`` as defense in depth.
+splitting subsequent sessions. An event with ``ts == last_us`` (a DISTINCT
+event sharing the open session's newest timestamp, straddling a
+micro-batch boundary) is ACCEPTED and extends the session with gap 0 —
+the batch form counts both, and dropping it undercounted ``n_events``
+(round-3 advisory; the file source replays nothing under checkpointing,
+so equality-with-last cannot be a duplicate delivery). Cross-micro-batch
+late events instead take the engine's batch late-data route: deterministic
+re-aggregation of the affected window from the raw tier
+(io/checkpoint.refresh_tier), which is how the north rule handles lateness
+everywhere else. ``last_us`` is also updated with ``max(last_us, ts[-1])``
+as defense in depth.
 
 One deliberate divergence from the batch form: null values count as
 0.0 in ``total_value`` here (the state accumulator is a plain double), so a
@@ -70,11 +76,14 @@ def _sessionize_group(gap_us: int):
 
         if state.exists:
             start_us, last_us, n, total = state.get
-            # drop cross-micro-batch late events (ts <= the open session's
-            # newest event): emitted sessions are append-only, so state can
-            # only move forward — see the module docstring's late-data
-            # contract (batch re-aggregation is the repair path)
-            keep = ts > last_us
+            # drop cross-micro-batch late events (ts strictly before the
+            # open session's newest event): emitted sessions are
+            # append-only, so state can only move forward — see the module
+            # docstring's late-data contract (batch re-aggregation is the
+            # repair path). Equal timestamps are distinct events under the
+            # exactly-once file source and are kept (gap-0 extension),
+            # matching the batch form's count.
+            keep = ts >= last_us
             if not keep.all():
                 ts, vals = ts[keep], vals[keep]
                 if not len(ts):
