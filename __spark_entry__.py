@@ -218,6 +218,67 @@ def _q_epn_thresholds(spark, sf_dir):
     )
 
 
+def _q_epn_approx(spark, sf_dir):
+    """A6's 100-TB escape hatch, driver-exposed (round-3 verdict #8):
+    ``epn(..., exact=False)`` computes the discharge threshold with
+    ``percentile_approx`` (GK sketch, map-side partial aggregation — the
+    per-(group, scale) sort shuffle disappears). Rows-only but
+    SELF-VERIFYING: the GK sketch guarantees rank error <= n/accuracy, so
+    every approximate threshold must land inside the exact
+    order-statistics band around the reference's target rank — ``lo``/
+    ``hi`` are computed in-query by an independent rank join and
+    ``sketch_ok`` = (lo <= pmax <= hi) rides on every row. The exact form
+    is the DuckDB-checked ``epn_thresholds`` above."""
+    _prep(spark)
+    from pyspark.sql import Window
+
+    from wavelet_decomposition_spark.operators.epn import epn
+
+    acc = 10_000
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    betas = li.select(
+        F.lit("li").alias("series_id"),
+        (F.col("l_linenumber") - 1).cast("int").alias("scale_idx"),
+        F.col("l_extendedprice").alias("beta"),
+    )
+    out = epn(
+        spark, betas, [90.0], n_years=1, exact=False, approx_accuracy=acc
+    )
+    # independent exact rank band: value at rank target +/- (n/acc + 1)
+    coeff = betas.filter(F.col("scale_idx") < 15).select(
+        "scale_idx", F.abs("beta").alias("ab")
+    )
+    w = Window.partitionBy("scale_idx").orderBy("ab")
+    ranked = coeff.withColumn("rnk", F.row_number().over(w)).withColumn(
+        "n_size", F.count(F.lit(1)).over(Window.partitionBy("scale_idx"))
+    )
+    target = F.ceil(90.0 * F.col("n_size") / 100.0).cast("int")
+    err = (F.col("n_size") / acc).cast("int") + 1
+    band = (
+        ranked.withColumn("_t", target)
+        .withColumn("_e", err)
+        .filter(
+            (F.col("rnk") == F.greatest(F.col("_t") - F.col("_e"), F.lit(1)))
+            | (F.col("rnk") == F.least(F.col("_t") + F.col("_e"), F.col("n_size")))
+        )
+        .groupBy("scale_idx")
+        .agg(F.min("ab").alias("lo"), F.max("ab").alias("hi"))
+    )
+    return out.join(F.broadcast(band), "scale_idx").select(
+        "scale_idx",
+        "satisfaction",
+        F.round("pmax", 6).alias("pmax"),
+        F.round("emax", 6).alias("emax"),
+        F.round("n", 6).alias("n_cycles"),
+        F.round("uf", 6).alias("uf"),
+        F.round(F.col("serv") / 1e6, 6).alias("serv_m"),
+        (
+            (F.col("pmax") >= F.col("lo") - 1e-9)
+            & (F.col("pmax") <= F.col("hi") + 1e-9)
+        ).alias("sketch_ok"),
+    )
+
+
 def _q_topk_argmin(spark, sf_dir):
     """A11 pattern — per-group argmax bucket (orderBy + limit shape)."""
     _prep(spark)
@@ -511,9 +572,17 @@ def _q_fft_spectrum(spark, sf_dir):
 
 
 def _q_reconstruction_roundtrip(spark, sf_dir):
-    """A8 — decompose then inverse-transform (band-passed to day scales);
-    golden parity + round-trip residual bounds live in tests/."""
+    """A8 — decompose then inverse-transform through the broadcast-matvec
+    UDF path (the twin of ``reconstruction_relational``'s join+agg form),
+    SELF-VERIFYING: every row carries ``invariant_ok`` = per-(series, year)
+    relative reconstruction error vs the input signal < 1e-2 (the
+    damped-LSQR fit bound) — a garbage solve, dictionary, or matvec cannot
+    satisfy it. Band-pass masking (P7) is pinned separately by
+    tests/test_decompose_spark.py and the per-scale ``heatmap_scales``
+    query."""
     _prep(spark)
+    from pyspark.sql import Window
+
     from wavelet_decomposition_spark.io import reference_data as rd
     from wavelet_decomposition_spark.io.electricity import electricity_df
     from wavelet_decomposition_spark.operators import decompose as dec
@@ -527,26 +596,54 @@ def _q_reconstruction_roundtrip(spark, sf_dir):
     trans = rd.load_translations("square")
     bc = dec.broadcast_dictionaries(spark, "square", {2013: trans[1]})
     betas = dec.decompose(df, bc)
-    return dec.reconstruct(betas, bc, keep_scales=range(6), add_offset=False)
+    recon = dec.reconstruct(betas, bc)
+    joined = recon.join(
+        df.withColumnRenamed("value", "signal"), ["series_id", "year", "idx"]
+    )
+    w = Window.partitionBy("series_id", "year")
+    rel_err = F.sum(F.pow(F.col("value") - F.col("signal"), 2)).over(w) / F.sum(
+        F.pow("signal", 2)
+    ).over(w)
+    return joined.select(
+        "series_id", "year", "idx", "value",
+        (rel_err < 1e-2).alias("invariant_ok"),
+    )
 
 
 def _q_translation_search(spark, sf_dir):
     """A11 — the reference's dominant cost at FULL width: all 23,360
     circular shifts for (Consumption, 2012, year family), distributed
     (reference: ~hours single-core per year, calc_translations.py:29-43
-    "grab a coffee"). Golden-pickle parity for all three families (modulo
-    the families' exact-arithmetic tie symmetries) is asserted in
-    tests/test_translation_spectrum.py."""
+    "grab a coffee"). SELF-VERIFYING: ``invariant_ok`` = (argmin shift ==
+    the golden pickle's transyear, modulo the square year wavelet's
+    N/2 sign-flip tie symmetry), as a window aggregate over the one sweep
+    lineage. All three families run in ``translation_full``; shift-level
+    parity is asserted in tests/test_translation_spectrum.py."""
     _prep(spark)
+    from pyspark.sql import Window
+
     from wavelet_decomposition_spark.io.reference_data import (
         load_prepared_signal,
+        load_translations,
     )
     from wavelet_decomposition_spark.operators.translation import (
         residues_for_shifts,
     )
 
     sig = load_prepared_signal("Consumption", 2012)
-    return residues_for_shifts(spark, sig, "year", "square", dpy=365, dpd=64)
+    golden_year = int(load_translations("square")[0][2])
+    res = residues_for_shifts(spark, sig, "year", "square", dpy=365, dpd=64)
+    w = Window.partitionBy()
+    best_shift = F.min(F.struct(F.col("residue"), F.col("shift"))).over(w)[
+        "shift"
+    ]
+    return res.select(
+        "shift",
+        "residue",
+        (
+            F.pmod(best_shift - golden_year, F.lit(int(sig.size) // 2)) == 0
+        ).alias("invariant_ok"),
+    )
 
 
 def _q_translation_full(spark, sf_dir):
@@ -605,12 +702,19 @@ def _q_translation_full(spark, sf_dir):
 
 
 def _q_heatmap_scales(spark, sf_dir):
-    """A9 — heatmap pre-pivot: each of the 15 scales reconstructed
-    separately, pivoted wide (reference wavelet_decomposition.py:325-358,
-    notebook cells 21->23 — which densify the 4.38 GB matrix; here 15
-    sparse matvecs per group). Self-verifying: tests assert the per-scale
-    signals sum to the full reconstruction (linearity)."""
+    """A9 — heatmap pre-pivot: each scale reconstructed separately, pivoted
+    wide (reference wavelet_decomposition.py:325-358, notebook cells
+    21->23 — which densify the 4.38 GB matrix; here one sparse matvec per
+    scale per group). Now SELF-VERIFYING via the linearity identity: with
+    the offset included as the 16th column, the scale columns must SUM to
+    the full reconstruction, so ``invariant_ok`` = per-(series, year)
+    relative error of (sum of all 16 scale columns) vs the input signal
+    < 1e-2 (the damped-LSQR fit bound) — shift a single scale's matvec and
+    the sum breaks. The per-scale-vs-full linearity is also asserted
+    exactly in tests/test_translation_spectrum.py."""
     _prep(spark)
+    from pyspark.sql import Window
+
     from wavelet_decomposition_spark.io import reference_data as rd
     from wavelet_decomposition_spark.io.electricity import electricity_df
     from wavelet_decomposition_spark.operators import decompose as dec
@@ -628,7 +732,27 @@ def _q_heatmap_scales(spark, sf_dir):
     trans = rd.load_translations("square")
     bc = dec.broadcast_dictionaries(spark, "square", {2013: trans[1]})
     betas = dec.decompose(df, bc)
-    return heatmap_pivot(per_scale_reconstruction(betas, bc))
+    pivot = heatmap_pivot(
+        per_scale_reconstruction(betas, bc, n_scales=16), scales=range(16)
+    )
+    joined = pivot.join(
+        df.select(
+            "series_id", "year", "idx", F.col("value").alias("_signal")
+        ),
+        ["series_id", "year", "idx"],
+    )
+    scale_sum = sum(
+        [F.col("1")] + [F.col(str(s)) for s in range(2, 16)], F.col("0")
+    )
+    w = Window.partitionBy("series_id", "year")
+    rel_err = F.sum(F.pow(scale_sum - F.col("_signal"), 2)).over(w) / F.sum(
+        F.pow("_signal", 2)
+    ).over(w)
+    return joined.select(
+        "series_id", "year", "idx",
+        *[F.col(str(s)) for s in range(16)],
+        (rel_err < 1e-2).alias("invariant_ok"),
+    )
 
 
 def _q_reconstruction_relational(spark, sf_dir):
@@ -847,6 +971,12 @@ def _q_text_invariant(spark, sf_dir):
             .when(F.col("a.text").isNull() | F.col("b.text").isNull(), 1)
             .otherwise(0)
         ).alias("n_mismatch"),
+    ).select(
+        "n_turns",
+        "n_mismatch",
+        ((F.col("n_turns") > 0) & (F.col("n_mismatch") == 0)).alias(
+            "invariant_ok"
+        ),
     )
 
 def _q_transcript_rollup_1m(spark, sf_dir):
@@ -943,14 +1073,38 @@ def _q_modwt_energy(spark, sf_dir):
 
 
 def _q_gorilla_blocks(spark, sf_dir):
+    """Gorilla + delta-of-delta block encode of the 1m tier, with the
+    compression report. SELF-VERIFYING: ``invariant_ok`` = every block
+    non-empty with a positive blob AND the tier-wide compression ratio
+    (sum raw / sum compressed) >= 2 — regular 1-minute timestamps
+    delta-of-delta to near-zero bits and small counts Gorilla-pack far
+    below 8 bytes/point, so a codec emitting bloated or truncated blobs
+    fails; exact value round-trip is the separate ``codec_roundtrip``
+    gate."""
     _prep(spark)
+    from pyspark.sql import Window
+
     from wavelet_decomposition_spark.io.transcripts import transcripts_df
     from wavelet_decomposition_spark.operators import activity, compress, rollup
 
     tx = transcripts_df(spark, 150, seed=42)
     tier = rollup.rollup_once(activity.activity_raw(tx), "1m")
     blocks = compress.encode_blocks(tier, activity.ACTIVITY_COUNT_COLS)
-    return compress.compression_report(blocks, activity.ACTIVITY_COUNT_COLS)
+    report = compress.compression_report(blocks, activity.ACTIVITY_COUNT_COLS)
+    w = Window.partitionBy()
+    ratio = F.sum("raw_bytes").over(w) / F.sum("compressed_bytes").over(w)
+    return report.select(
+        "conv_id",
+        "day",
+        "n_points",
+        "compressed_bytes",
+        "raw_bytes",
+        (
+            (F.col("n_points") > 0)
+            & (F.col("compressed_bytes") > 0)
+            & (ratio >= 2.0)
+        ).alias("invariant_ok"),
+    )
 
 
 def _q_codec_roundtrip(spark, sf_dir):
@@ -987,6 +1141,15 @@ def _q_codec_roundtrip(spark, sf_dir):
         F.count(F.lit(1)).alias("n_rows"),
         F.sum(unmatched).alias("n_unmatched"),
         F.max(err).alias("max_abs_err"),
+    ).select(
+        "n_rows",
+        "n_unmatched",
+        "max_abs_err",
+        (
+            (F.col("n_rows") > 0)
+            & (F.col("n_unmatched") == 0)
+            & (F.col("max_abs_err") == 0.0)
+        ).alias("roundtrip_ok"),
     )
 
 
@@ -1004,8 +1167,36 @@ def _q_ngram_jaccard_bounded(spark, sf_dir):
         ngram_jaccard_pairs_bounded,
     )
 
-    pairs = ngram_jaccard_pairs_bounded(_docs(spark, sf_dir), threshold=0.7)
-    return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    from pyspark.sql import Window
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    # planted sentinels (self-verification): 10 exact copies at
+    # doc_id+10,000,000 — LSH banding, the candidate join, and the exact
+    # hashed-set verification must all agree these are jaccard-1.0 pairs;
+    # a dropped band, broken bucket join, or wrong set arithmetic loses
+    # them. (Bounded == exact equality at the operating threshold is
+    # additionally pinned in tests/test_dedup_similarity.py.)
+    planted = (
+        docs.orderBy("doc_id").limit(10)
+        .select((F.col("doc_id") + 10_000_000).alias("doc_id"), "text")
+    )
+    pairs = ngram_jaccard_pairs_bounded(
+        docs.unionByName(planted), threshold=0.7
+    )
+    w = Window.partitionBy()
+    planted_hits = F.sum(
+        (
+            (F.col("id_b") - F.col("id_a") == 10_000_000)
+            & (F.col("id_a") < 10_000_000)
+            & (F.col("jaccard") > 0.999)
+        ).cast("long")
+    ).over(w)
+    return pairs.select(
+        "id_a",
+        "id_b",
+        F.round("jaccard", 6).alias("jaccard"),
+        (planted_hits == 10).alias("invariant_ok"),
+    )
 
 
 def _q_minhash_pairs(spark, sf_dir):
@@ -1148,14 +1339,20 @@ def _betas_with_golden_parity(spark, shape, signals, years):
         _GOLDEN_CACHE[key] = bc
     betas = dec.decompose(df, bc)
 
-    gkey = ("golden", tuple(signals), tuple(years))
-    gpdf = _GOLDEN_CACHE.get(gkey)
-    if gpdf is None:
+    # cache the golden side as a SPARK DataFrame (keyed per session):
+    # re-running createDataFrame on the ~328k-row pandas frame cost ~2 s
+    # of every warm repeat; a LocalRelation is immutable and reusable
+    gkey = (
+        "golden", tuple(signals), tuple(years),
+        spark.sparkContext.applicationId,
+    )
+    golden = _GOLDEN_CACHE.get(gkey)
+    if golden is None:
         gpdf = rd.load_golden_betas_long(
             [(s, y) for s in signals for y in years]
         )
-        _GOLDEN_CACHE[gkey] = gpdf
-    golden = spark.createDataFrame(gpdf)
+        golden = spark.createDataFrame(gpdf)
+        _GOLDEN_CACHE[gkey] = golden
 
     # single lineage: joining betas to golden once and deriving the
     # per-(series, year) parity via window aggregates avoids referencing
@@ -1353,6 +1550,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "resample_linear": _q_resample_linear,
         "conversation_stats_skew": _q_conversation_stats_skew,
         # rows-only (no SQL oracle):
+        "epn_approx": _q_epn_approx,
         "fft_spectrum": _q_fft_spectrum,
         "reconstruction_roundtrip": _q_reconstruction_roundtrip,
         "reconstruction_relational": _q_reconstruction_relational,

@@ -93,6 +93,18 @@ def test_invariant_queries_single_lineage(spark, queries):
     # energy queries: one pyramid pass over the cached tier
     plan = _plan(queries["modwt_energy"](spark, SF_DIR), "simple")
     assert plan.count("FlatMapGroupsInPandas") == 1
+    # roundtrip UDF form: resample twice (solve input + the signal side of
+    # the error join, a cheap np.interp pass) + ONE decompose + ONE
+    # reconstruct = 4; a double-referenced betas branch would show 5+
+    plan = _plan(queries["reconstruction_roundtrip"](spark, SF_DIR), "simple")
+    assert plan.count("FlatMapGroupsInPandas") == 4
+    # heatmap: resample twice + ONE decompose + ONE per-scale stage = 4
+    # (explicit pivot values — no eager distinct job at plan time)
+    plan = _plan(queries["heatmap_scales"](spark, SF_DIR), "simple")
+    assert plan.count("FlatMapGroupsInPandas") == 4
+    # full E3: exactly one sweep (MapInPandas) per mother family
+    plan = _plan(queries["translation_full"](spark, SF_DIR), "simple")
+    assert plan.count("MapInPandas") == 3
 
 
 def test_wavelet_stage_single_shuffle(spark):

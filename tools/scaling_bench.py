@@ -27,8 +27,10 @@ Protocol notes (all deliberate):
 Usage:
     python tools/scaling_bench.py                 # flagship run -> BENCH.md + JSON line
     python tools/scaling_bench.py --dedup         # LLM-dedup scaling -> appended to BENCH.md
+    python tools/scaling_bench.py --relational    # pure-JVM sessionize scaling -> appended
     python tools/scaling_bench.py --one 8 <path>  # single measurement (internal)
-    python tools/scaling_bench.py --one-dedup 8 <path>  # (internal)
+    python tools/scaling_bench.py --one-dedup 8 <path>       # (internal)
+    python tools/scaling_bench.py --one-relational 8 <path>  # (internal)
 """
 
 from __future__ import annotations
@@ -255,6 +257,134 @@ def dedup_main() -> None:
         )
 
 
+def run_one_relational(cores: int, tx_path: str) -> None:
+    """Measure a PURE-JVM relational query (sessionize: lag + cumulative-sum
+    window + hash aggregate, zero Python) at local[cores] — the scaling
+    point for the engine's whole-stage-codegen path, complementing the
+    UDF-heavy flagship and the dedup point (round-3 verdict #7). The scan
+    projects exactly (conv_id, ts, turn_idx, length(text)) so only an int
+    rides the sort shuffle, not the wide text column. Cold + three warm
+    repeats, best warm is the measurement (same protocol as the others)."""
+    from pyspark.sql import functions as F
+
+    from wavelet_decomposition_spark.operators.sessions import sessionize
+    from wavelet_decomposition_spark.plans.session import build_session
+
+    spark = build_session(app_name=f"wds-scale-rel-{cores}", cores=cores)
+    spark.sparkContext.setLogLevel("ERROR")
+    tx = spark.read.parquet(tx_path).select(
+        "conv_id", "ts", "turn_idx", F.length("text").alias("n_chars")
+    )
+    n_turns = tx.count()  # untimed: input size for the throughput figure
+
+    def _job():
+        sessionize(
+            tx, gap="60 seconds", group_col="conv_id", ts_col="ts",
+            order_col="turn_idx", value_col="n_chars",
+        ).write.format("noop").mode("overwrite").save()
+
+    walls = []
+    for _ in range(4):  # cold + three warm (same protocol as the flagship)
+        t0 = time.time()
+        _job()
+        walls.append(time.time() - t0)
+    n_sessions = sessionize(
+        tx, gap="60 seconds", group_col="conv_id", ts_col="ts",
+        order_col="turn_idx", value_col="n_chars",
+    ).count()
+    print(json.dumps({
+        "cores": cores,
+        "wall_cold_sec": round(walls[0], 3),
+        "wall_sec": round(min(walls[1:]), 3),
+        "walls_all_sec": [round(w, 3) for w in walls],
+        "n_turns": n_turns,
+        "n_sessions": int(n_sessions),
+        "turns_per_sec": round(n_turns / min(walls[1:]), 1),
+    }))
+    spark.stop()
+
+
+def relational_main() -> None:
+    """N->4N scaling point for the pure-relational path (round-3 verdict
+    #7): sessionize (oracle-checked query shape) over the same stored
+    transcript corpus the flagship uses; appended to BENCH.md as its own
+    evidence block."""
+    import tempfile
+
+    tx_path = os.environ.get(
+        "SPARK_GRAFT_SCALE_PATH",
+        f"{tempfile.gettempdir()}/wds_scale_tx_{N_CONVS}",
+    )
+    if not os.path.exists(tx_path):
+        from bench import materialize_transcripts
+
+        from wavelet_decomposition_spark.plans.session import build_session
+
+        spark = build_session(app_name="wds-scale-setup", cores=32)
+        spark.sparkContext.setLogLevel("ERROR")
+        materialized = materialize_transcripts(spark, N_CONVS)
+        if materialized != tx_path:
+            os.rename(materialized, tx_path)
+        spark.stop()
+    ceiling = cpu_ceiling(CORES_LO, CORES_HI)
+    results: dict[int, dict] = {}
+    for cores in (CORES_LO, CORES_HI):
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--one-relational",
+             str(cores), tx_path],
+            capture_output=True, text=True, cwd=REPO, check=True,
+        )
+        line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
+        results[cores] = json.loads(line)
+    lo, hi = results[CORES_LO], results[CORES_HI]
+    speedup = lo["wall_sec"] / hi["wall_sec"]
+    efficiency = speedup / (CORES_HI / CORES_LO)
+    summary = {
+        "metric": f"relational scaling efficiency (sessionize, "
+                  f"local[{CORES_LO}] -> local[{CORES_HI}], same input, "
+                  "best warm repeat)",
+        "n_turns": hi["n_turns"],
+        "n_sessions": hi["n_sessions"],
+        f"throughput_local{CORES_LO}_turns_per_sec": lo["turns_per_sec"],
+        f"throughput_local{CORES_HI}_turns_per_sec": hi["turns_per_sec"],
+        f"wall_local{CORES_LO}_sec": lo["wall_sec"],
+        f"wall_local{CORES_HI}_sec": hi["wall_sec"],
+        f"walls_all_local{CORES_LO}_sec": lo["walls_all_sec"],
+        f"walls_all_local{CORES_HI}_sec": hi["walls_all_sec"],
+        "speedup": round(speedup, 3),
+        "scaling_efficiency": round(efficiency, 3),
+        "hardware_cpu_ceiling": round(ceiling, 3),
+        "efficiency_vs_hardware_ceiling": round(efficiency / ceiling, 3),
+        "target": 0.8,
+    }
+    print(json.dumps(summary))
+    with open(os.path.join(REPO, "BENCH.md"), "a") as f:
+        f.write(
+            "\n## Relational scaling point (pure-JVM path)\n\n"
+            "Same N->4N protocol applied to a ZERO-Python query — "
+            "`sessionize` (lag + cumulative-sum window + hash aggregate, "
+            "whole-stage codegen end to end; the oracle-checked driver "
+            "query's exact shape) — over the same stored transcript corpus "
+            "the flagship uses, so the relational/shuffle path has its own "
+            "evidence alongside the UDF-heavy flagship and the dedup "
+            f"point ({hi['n_turns']:,} turns -> {hi['n_sessions']:,} "
+            "sessions at a 60 s gap; the scan projects the group key, "
+            "timestamp, order key and an int — the wide text column never "
+            "rides the sort shuffle).\n\n"
+            f"- local[{CORES_LO}]:  {lo['wall_sec']:.1f}s best-warm "
+            f"({lo['wall_cold_sec']:.1f}s cold) -> "
+            f"{lo['turns_per_sec']:,.0f} turns/sec\n"
+            f"- local[{CORES_HI}]: {hi['wall_sec']:.1f}s best-warm "
+            f"({hi['wall_cold_sec']:.1f}s cold) -> "
+            f"{hi['turns_per_sec']:,.0f} turns/sec\n"
+            f"- **scaling efficiency: {efficiency:.3f}** (target >= 0.8; "
+            f"hardware ceiling between these core counts measured at "
+            f"{ceiling:.3f} -> {efficiency / ceiling:.2f}x of ceiling)\n\n"
+            "Reproduce: `python tools/scaling_bench.py --relational`.\n\n"
+            "```json\n" + json.dumps(summary, indent=2) + "\n```\n"
+        )
+
+
 def _burn(n: int) -> int:
     s = 0
     for i in range(n):
@@ -283,6 +413,12 @@ def main() -> None:
         return
     if len(sys.argv) >= 2 and sys.argv[1] == "--dedup":
         dedup_main()
+        return
+    if len(sys.argv) >= 2 and sys.argv[1] == "--one-relational":
+        run_one_relational(int(sys.argv[2]), sys.argv[3])
+        return
+    if len(sys.argv) >= 2 and sys.argv[1] == "--relational":
+        relational_main()
         return
 
     import tempfile

@@ -92,11 +92,17 @@ def per_scale_reconstruction(betas: DataFrame, bc, n_scales: int = 15) -> DataFr
     )
 
 
-def heatmap_pivot(per_scale: DataFrame) -> DataFrame:
-    """Wide N x 15 layout (one column per scale) — presentation export."""
-    return (
-        per_scale.groupBy("series_id", "year", "idx")
-        .pivot("scale_idx")
-        .agg(F.first("value"))
-        .orderBy("series_id", "year", "idx")
+def heatmap_pivot(per_scale: DataFrame, scales=None) -> DataFrame:
+    """Wide N x n_scales layout (one column per scale) — presentation
+    export. Pass ``scales`` explicitly when they are statically known
+    (they always are here: 0..n_scales-1): ``pivot`` without values runs
+    an EAGER distinct job at plan-construction time, which would execute
+    the entire upstream betas lineage (an LSQR solve) once just to
+    enumerate the pivot columns."""
+    piv = per_scale.groupBy("series_id", "year", "idx")
+    piv = (
+        piv.pivot("scale_idx", [int(s) for s in scales])
+        if scales is not None
+        else piv.pivot("scale_idx")
     )
+    return piv.agg(F.first("value")).orderBy("series_id", "year", "idx")
