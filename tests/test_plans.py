@@ -107,6 +107,39 @@ def test_invariant_queries_single_lineage(spark, queries):
     assert plan.count("MapInPandas") == 3
 
 
+def test_solve_stage_not_coalesced(spark, queries):
+    """The LSQR solve stage must keep one task per (series, year) group:
+    a solve group is ~700 KB of rows but ~2 s of CPU, and AQE's byte-based
+    partition coalescing packed the full E1's 21 solves into THREE tasks
+    (measured 11.7 s vs 3.2 s spread). decompose() pins the width with an
+    explicit repartition (REPARTITION_BY_NUM — exempt from coalescing) that
+    the groupBy reuses; assert the executed distribution stays one group
+    per task and that no extra exchange appeared."""
+    from pyspark.sql import functions as F
+
+    from wavelet_decomposition_spark.io import reference_data as rd
+    from wavelet_decomposition_spark.io.electricity import electricity_df
+    from wavelet_decomposition_spark.operators import decompose as dec
+    from wavelet_decomposition_spark.operators import series as ser
+    from wavelet_decomposition_spark.operators.resample import resample_per_year
+
+    years = [2012, 2013, 2014]
+    df = electricity_df(spark, signals=["Consumption"], years=years)
+    df = ser.leap_trim(df, 48 * 365)
+    df = ser.normalize_yearly_mean(df)
+    df = resample_per_year(df, 48, 64, 365)
+    trans = rd.load_translations("square")
+    bc = dec.broadcast_dictionaries(
+        spark, "square", {y: trans[y - 2012] for y in years}
+    )
+    betas = dec.decompose(df, bc)
+    sizes = betas.groupBy(F.spark_partition_id().alias("p")).count().collect()
+    assert len(sizes) == len(years)  # one task per (series, year) group
+    assert all(r["count"] == 23423 for r in sizes)
+    plan = _plan(betas, "simple")
+    assert plan.count("Exchange") == 2  # resample's + the solve repartition
+
+
 def test_wavelet_stage_single_shuffle(spark):
     """The pyramid stage adds exactly one exchange (the bucket repartition);
     the groupBy reuses that clustering instead of shuffling again."""

@@ -100,6 +100,55 @@ def test_full_translation_sweep_matches_golden_2012(spark):
     )
 
 
+def test_full_sine_translation_sweep_matches_golden_2012(spark):
+    """The SINE-shape E3 pickle (trans_sine_12_18.p — previously the one
+    reference artifact never exercised): all 23,360 shifts per family with
+    sine mothers on the same Consumption 2012 signal (tutorial.ipynb's
+    sine cell imports this pickle; the signal arg on the compute path is
+    stacked_input_data[signal_type] exactly as for square). Verified
+    empirically this round: the same symmetry orbits apply —
+
+    - day: sine day mothers tile per 64-point day -> argmin mod 64
+      (golden 25; measured argmin 17433, residue ratio 1 - 8e-16);
+    - year: a half-period shift negates the year sine -> argmin mod
+      N/2 = 11,680 (golden 7116; measured 18796 = 7116 + 11,680 exactly,
+      residue ratio 1 - 4e-16);
+    - week: no tiling symmetry -> exact (golden 22584, matched exactly).
+    """
+    sig = rd.load_prepared_signal("Consumption", 2012)
+    n = sig.size
+    golden_day, golden_week, golden_year = rd.load_translations("sine")[0]
+    base = float(np.dot(sig, sig))
+
+    def argmin(r):
+        masked = np.where(r < base, r, np.inf)
+        return int(np.argmin(masked))
+
+    res = {}
+    for fam in ("day", "week", "year"):
+        pdf = (
+            translation.residues_for_shifts(
+                spark, sig, fam, "sine", dpy=365, dpd=64
+            )
+            .toPandas()
+            .sort_values("shift")
+        )
+        assert len(pdf) == n
+        res[fam] = pdf["residue"].to_numpy()
+
+    assert argmin(res["week"]) == golden_week
+
+    d = argmin(res["day"])
+    assert d % 64 == golden_day % 64
+    np.testing.assert_allclose(res["day"][d], res["day"][golden_day], rtol=1e-9)
+
+    y = argmin(res["year"])
+    assert y % (n // 2) == golden_year % (n // 2)
+    np.testing.assert_allclose(
+        res["year"][y], res["year"][golden_year], rtol=1e-9
+    )
+
+
 def test_fft_spectrum_matches_numpy(spark):
     rng = np.random.default_rng(12)
     y = rng.normal(size=256)
