@@ -452,6 +452,69 @@ def _q_gapfill_locf(spark, sf_dir):
     )
 
 
+def _q_gapfill_interp(spark, sf_dir):
+    """Gap-fill to a 1-minute grid with linear interpolation between the
+    surrounding observations (the continuous-gauge policy; LOCF's
+    step-function twin is `gapfill_locf`). Grid edges are observed by
+    construction (the grid spans each group's [min, max]), so every output
+    value is defined.
+
+    The gauge is min(value) — an exact selection, bit-reproducible across
+    engines — and the output is deliberately UNROUNDED: the ratio-first
+    interp formula then yields bit-identical doubles in Spark and DuckDB,
+    whereas a round(6) of avg()-based midpoints systematically lands on
+    .5e-6 ties where the two engines' round() tie-breaking differs."""
+    _prep(spark)
+    from wavelet_decomposition_spark.operators.gapfill import gapfill_interp
+
+    per_min = (
+        _events(spark, sf_dir)
+        .groupBy(
+            "event_type", F.date_trunc("minute", F.col("ts")).alias("bucket_ts")
+        )
+        .agg(F.min("value").alias("min_value"))
+    )
+    filled = gapfill_interp(
+        per_min, ["min_value"], step="1 minute", group_col="event_type"
+    )
+    return filled.select("event_type", "bucket_ts", "min_value")
+
+
+def _q_asof_join(spark, sf_dir):
+    """As-of join: attach to every click the user's most recent purchase at
+    or before it (inclusive ties, deterministic max_by tie-break on the
+    right, left-outer with -1 sentinels so the hash gate never sees NaN).
+    Union-window form — ONE shuffle, no join explosion; oracle is DuckDB's
+    native ASOF LEFT JOIN."""
+    _prep(spark)
+    from wavelet_decomposition_spark.operators.asof import asof_join
+
+    ev = _events(spark, sf_dir)
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value", "event_id"
+    )
+    out = asof_join(
+        clicks, purchases, on="user_id", right_cols=["value"],
+        tie_break="event_id", suffix="_p",
+    )
+    age_s = (
+        F.unix_micros(F.col("ts").cast("timestamp"))
+        - F.unix_micros(F.col("ts_p").cast("timestamp"))
+    ) / F.lit(1_000_000.0)
+    return out.select(
+        "event_id",
+        "user_id",
+        F.round("value", 6).alias("click_value"),
+        F.round(F.coalesce("value_p", F.lit(-1.0)), 6).alias(
+            "last_purchase_value"
+        ),
+        F.coalesce(F.round(age_s, 6), F.lit(-1.0)).alias("purchase_age_s"),
+    )
+
+
 def _q_sessionize(spark, sf_dir):
     """Gap-based sessionization of the event stream (30-minute gap): the
     relational window+agg form; its streaming applyInPandasWithState twin is
@@ -1545,6 +1608,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": _q_ann_topk,
         "cosine_pairs": _q_cosine_pairs,
         "gapfill_locf": _q_gapfill_locf,
+        "gapfill_interp": _q_gapfill_interp,
+        "asof_join": _q_asof_join,
         "sessionize": _q_sessionize,
         "quality_score": _q_quality_score,
         "resample_linear": _q_resample_linear,
@@ -1905,6 +1970,59 @@ def oracle_sql() -> dict[str, str]:
                        AS avg_value
             FROM grid g LEFT JOIN per_min p
               ON g.event_type = p.event_type AND g.bucket_ts = p.bucket_ts
+        """,
+        "gapfill_interp": """
+            WITH per_min AS (
+                SELECT event_type, date_trunc('minute', ts) AS bucket_ts,
+                       min(value) AS min_value
+                FROM events GROUP BY 1, 2),
+            bounds AS (SELECT event_type, min(bucket_ts) AS t0,
+                              max(bucket_ts) AS t1
+                       FROM per_min GROUP BY 1),
+            grid AS (SELECT event_type,
+                            unnest(generate_series(t0, t1,
+                                                   INTERVAL 1 MINUTE))
+                                AS bucket_ts
+                     FROM bounds),
+            j AS (SELECT g.event_type, g.bucket_ts,
+                         epoch(g.bucket_ts) AS t, p.min_value
+                  FROM grid g LEFT JOIN per_min p
+                    ON g.event_type = p.event_type
+                   AND g.bucket_ts = p.bucket_ts),
+            c AS (SELECT event_type, bucket_ts, t,
+                         last_value(min_value IGNORE NULLS) OVER wb AS pv,
+                         last_value(CASE WHEN min_value IS NOT NULL THEN t
+                                    END IGNORE NULLS) OVER wb AS pt,
+                         first_value(min_value IGNORE NULLS) OVER wf AS nv,
+                         first_value(CASE WHEN min_value IS NOT NULL THEN t
+                                     END IGNORE NULLS) OVER wf AS nt
+                  FROM j
+                  WINDOW wb AS (PARTITION BY event_type ORDER BY bucket_ts
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND CURRENT ROW),
+                         wf AS (PARTITION BY event_type ORDER BY bucket_ts
+                                ROWS BETWEEN CURRENT ROW
+                                         AND UNBOUNDED FOLLOWING))
+            SELECT event_type, bucket_ts,
+                   CASE WHEN pt = nt THEN pv
+                        ELSE pv + (nv - pv) * ((t - pt) / (nt - pt))
+                   END AS min_value
+            FROM c
+        """,
+        "asof_join": """
+            WITH c AS (SELECT event_id, user_id, ts, value FROM events
+                       WHERE event_type = 'click'),
+            p AS (SELECT user_id, ts, max_by(value, event_id) AS pval
+                  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+            SELECT c.event_id, c.user_id,
+                   round(c.value, 6) AS click_value,
+                   round(coalesce(p.pval, -1.0), 6)
+                       AS last_purchase_value,
+                   coalesce(round(
+                       date_diff('microsecond', p.ts, c.ts) / 1000000.0,
+                       6), -1.0) AS purchase_age_s
+            FROM c ASOF LEFT JOIN p
+              ON c.user_id = p.user_id AND c.ts >= p.ts
         """,
         "sessionize": """
             WITH ordered AS (

@@ -73,6 +73,40 @@ def test_gapfill_locf_carries_forward(spark):
     assert filled.filter(F.col("chars").isNull()).count() == 0
 
 
+def test_gapfill_interp_matches_pandas(spark):
+    """Linear interpolation == pandas Series.interpolate(limit_area=
+    'inside') on every group's dense grid; observed buckets pass through
+    exactly; edges have no nulls because the grid spans [min, max]."""
+    import numpy as np
+
+    raw = _raw(spark, n=5, seed=11).withColumn(
+        "gauge", F.col("chars").cast("double")
+    )
+    filled = (
+        gapfill.gapfill_interp(raw, ["gauge"])
+        .toPandas()
+        .sort_values(["conv_id", "bucket_ts"])
+    )
+    raw_pdf = raw.toPandas()
+    assert filled["gauge"].notna().all()
+    for conv, g in filled.groupby("conv_id"):
+        obs = (
+            raw_pdf[raw_pdf.conv_id == conv]
+            .set_index("bucket_ts")["gauge"]
+            .sort_index()
+        )
+        grid = g.set_index("bucket_ts")["gauge"].sort_index()
+        exp = (
+            obs.reindex(grid.index)
+            .interpolate(method="time", limit_area="inside")
+        )
+        np.testing.assert_allclose(grid.values, exp.values, rtol=1e-12)
+        # observed points untouched
+        np.testing.assert_allclose(
+            grid.reindex(obs.index).values, obs.values, rtol=0
+        )
+
+
 import pytest
 
 

@@ -54,3 +54,51 @@ def gapfill_locf(series: DataFrame, value_cols, step: str = "1 second",
     for c in value_cols:
         filled = filled.withColumn(c, F.last(c, ignorenulls=True).over(w))
     return filled
+
+
+def gapfill_interp(series: DataFrame, value_cols, step: str = "1 second",
+                   group_col: str = "conv_id",
+                   ts_col: str = "bucket_ts") -> DataFrame:
+    """Continuous gauges: missing interior buckets are linearly
+    interpolated between the surrounding observations; leading/trailing
+    buckets with no observation on one side stay null (compose with
+    :func:`gapfill_locf` if extrapolation is wanted — mixing the two
+    policies silently is how resampled training series grow phantom
+    trends).
+
+    Same single-shuffle shape as LOCF: the grid join is co-partitioned by
+    construction and the two carry windows (last-before, first-after) share
+    one partitioning and one sort, so Spark plans ONE exchange + ONE sort
+    for the whole fill regardless of how many value columns are filled.
+    Identical window SQL runs on any warehouse (the driver's DuckDB oracle
+    uses ``IGNORE NULLS`` ``last_value``/``first_value`` the same way).
+    """
+    grid = time_grid(series, step, group_col, ts_col)
+    filled = grid.join(series, [group_col, ts_col], "left")
+    wb = (
+        Window.partitionBy(group_col)
+        .orderBy(ts_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wf = (
+        Window.partitionBy(group_col)
+        .orderBy(ts_col)
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    t = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    for c in value_cols:
+        obs_t = F.when(F.col(c).isNotNull(), t)
+        pv = F.last(c, ignorenulls=True).over(wb)
+        pt = F.last(obs_t, ignorenulls=True).over(wb)
+        nv = F.first(c, ignorenulls=True).over(wf)
+        nt = F.first(obs_t, ignorenulls=True).over(wf)
+        # ratio-first form: (t-pt)/(nt-pt) is scale-invariant (micros here,
+        # seconds in a SQL oracle — IEEE division of equal exact quotients
+        # is bit-identical), so downstream engines agree to the last ulp
+        interp = F.when(
+            pt == nt, pv  # an observed bucket: both carries land on itself
+        ).otherwise(
+            pv + (nv - pv) * ((t - pt) / (nt - pt))
+        )
+        filled = filled.withColumn(c, interp)
+    return filled
