@@ -432,6 +432,64 @@ def _q_cosine_pairs(spark, sf_dir):
     )
 
 
+def _q_stratified_split(spark, sf_dir):
+    """Deterministic train/val/test assignment (80/10/10) by hash-bucket
+    thresholds on doc_id — stable under reruns, repartitioning, and
+    appends, unlike DataFrame.sample. The portable 31-bit LCG method runs
+    bit-identically in the DuckDB oracle; the xxhash64 production path is
+    property-tested in tests/test_sampling.py."""
+    _prep(spark)
+    from wavelet_decomposition_spark.operators.sampling import assign_splits
+
+    return assign_splits(
+        _docs(spark, sf_dir).select("doc_id"),
+        {"train": 0.8, "val": 0.1, "test": 0.1},
+        key_col="doc_id", seed=42, method="lcg",
+    )
+
+
+def _q_domain_mix(spark, sf_dir):
+    """Per-source sampling rates hitting a 50k-token budget under a
+    uniform target mix: rate = min(1, budget*w/tokens). The one aggregate
+    is n_sources rows; applying the rates stays shuffle-free."""
+    _prep(spark)
+    from wavelet_decomposition_spark.operators.sampling import domain_mix
+
+    return domain_mix(_docs(spark, sf_dir), budget_tokens=50_000)
+
+
+def _q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: docs sharing any word 3-gram with the
+    held-out set (doc_id % 37 == 0) are flagged. Benchmark gram set is
+    broadcast; the corpus is scanned once with no corpus-side shuffle
+    before the per-doc hit aggregate."""
+    _prep(spark)
+    from wavelet_decomposition_spark.operators.decontam import decontaminate
+
+    docs = _docs(spark, sf_dir)
+    bench = docs.where(F.col("doc_id") % 37 == 0)
+    corpus = docs.where(F.col("doc_id") % 37 != 0)
+    return decontaminate(corpus, bench, n=3)
+
+
+def _q_dedup_clusters(spark, sf_dir):
+    """Near-dup CLUSTER formation: connected components (large-star/
+    small-star, O(log n) rounds) over the exact cosine>=0.5 pair list,
+    then one canonical keeper per cluster. The step every pairwise dedup
+    pipeline needs before it can actually drop rows; oracle is a DuckDB
+    recursive CTE computing min-reachable-id per node."""
+    _prep(spark)
+    from wavelet_decomposition_spark.operators.components import dedup_clusters
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    pairs = _q_cosine_pairs(spark, sf_dir).select("id_a", "id_b")
+    return dedup_clusters(
+        emb.select("vec_id"), pairs, id_col="vec_id"
+    ).select(
+        "vec_id", "component", "cluster_size", "is_canonical"
+    )
+
+
 def _q_gapfill_locf(spark, sf_dir):
     """Gap-fill to a 1-minute grid with last-observation-carried-forward."""
     _prep(spark)
@@ -1607,6 +1665,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_marker_hits": _q_lang_marker_hits,
         "ann_topk": _q_ann_topk,
         "cosine_pairs": _q_cosine_pairs,
+        "dedup_clusters": _q_dedup_clusters,
+        "decontaminate": _q_decontaminate,
+        "stratified_split": _q_stratified_split,
+        "domain_mix": _q_domain_mix,
         "gapfill_locf": _q_gapfill_locf,
         "gapfill_interp": _q_gapfill_interp,
         "asof_join": _q_asof_join,
@@ -1949,6 +2011,74 @@ def oracle_sql() -> dict[str, str]:
                    min(ts) AS first_ts,
                    max(ts) AS last_ts
             FROM events GROUP BY 1
+        """,
+        "stratified_split": """
+            WITH b AS (
+                SELECT doc_id,
+                       ((((doc_id + 42) % 2147483648) * 1103515245
+                          + 12345) % 2147483648) / 2147483648.0 AS bucket
+                FROM documents)
+            SELECT doc_id,
+                   CASE WHEN bucket < 0.8 THEN 'train'
+                        WHEN bucket < 0.9 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM b
+        """,
+        "domain_mix": """
+            WITH per AS (
+                SELECT source, count(*) AS n_docs,
+                       CAST(sum(len(regexp_extract_all(text,
+                           '[a-zA-Z0-9]+|[^a-zA-Z0-9\\s]'))) AS BIGINT)
+                           AS n_tokens
+                FROM documents GROUP BY 1),
+            t AS (SELECT *, count(*) OVER () AS ns,
+                         1.0 / (count(*) OVER ()) AS w
+                  FROM per)
+            SELECT source, n_docs, n_tokens,
+                   round(w, 6) AS target_weight,
+                   round(least(1.0, 50000.0 * w / n_tokens), 6)
+                       AS sample_rate,
+                   round(least(1.0, 50000.0 * w / n_tokens) * n_tokens, 2)
+                       AS expected_tokens
+            FROM t
+        """,
+        "decontaminate": f"""
+            WITH docs AS (SELECT doc_id, string_split({norm}, ' ') AS w
+                          FROM documents),
+            sh AS (SELECT DISTINCT doc_id,
+                          concat_ws(' ', w[i], w[i+1], w[i+2]) AS g
+                   FROM docs,
+                        unnest(generate_series(1, greatest(len(w) - 2, 1)))
+                            AS t(i)
+                   WHERE length(concat_ws(' ', w[i], w[i+1], w[i+2])) > 0),
+            bg AS (SELECT DISTINCT g FROM sh WHERE doc_id % 37 = 0),
+            hits AS (SELECT s.doc_id, count(DISTINCT s.g) AS n_overlap
+                     FROM sh s JOIN bg USING (g)
+                     WHERE s.doc_id % 37 <> 0 GROUP BY 1)
+            SELECT d.doc_id,
+                   coalesce(h.n_overlap, 0) AS n_overlap,
+                   coalesce(h.n_overlap, 0) > 0 AS contaminated
+            FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+            WHERE d.doc_id % 37 <> 0
+        """,
+        "dedup_clusters": """
+            WITH RECURSIVE pairs AS (
+                SELECT a.vec_id AS u, b.vec_id AS v
+                FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+                WHERE list_cosine_similarity(a.embedding::DOUBLE[],
+                                             b.embedding::DOUBLE[]) >= 0.5),
+            und AS (SELECT u, v FROM pairs
+                    UNION SELECT v AS u, u AS v FROM pairs),
+            reach(n, c) AS (
+                SELECT vec_id, vec_id FROM embeddings
+                UNION
+                SELECT e.v, r.c FROM reach r JOIN und e ON e.u = r.n),
+            comp AS (SELECT n AS vec_id, min(c) AS component
+                     FROM reach GROUP BY n)
+            SELECT vec_id, component,
+                   count(*) OVER (PARTITION BY component) AS cluster_size,
+                   vec_id = component AS is_canonical
+            FROM comp
         """,
         "gapfill_locf": """
             WITH per_min AS (

@@ -1,0 +1,138 @@
+"""Connected components over near-duplicate pair lists — the step that
+turns pairwise dedup output (MinHash/SimHash/cosine/bounded-Jaccard pairs,
+`operators/dedup.py`) into actionable *clusters*: one canonical document
+kept per component, the rest dropped. Every large-scale training-data
+dedup pipeline ends with exactly this contraction; without it, pairwise
+output under-removes (A~B, B~C but A!~C leaves two of the three).
+
+Algorithm: alternating **large-star / small-star** (Kiveris et al.,
+"Connected Components in MapReduce and Beyond", SoCC'14) expressed as
+DataFrame ops:
+
+- ``large-star``: for every node u, connect each *strictly larger*
+  neighbor to the minimum of N(u) ∪ {u};
+- ``small-star``: connect each neighbor ≤ u (and u itself) to that
+  minimum.
+
+Both steps are one ``explode``-free groupBy each (``min`` aggregate +
+join back), monotonically shrink the sum of edge endpoints, and converge
+in O(log n) rounds to a star forest: every node points at its component's
+minimum id. Label propagation (the obvious alternative) needs O(diameter)
+rounds — fatal on chain-shaped components that real shingle-overlap
+graphs do contain.
+
+Scale notes (100 TB): each round is two shuffles on node id; edges are
+``distinct``-ed per round so the frontier only shrinks; per-round
+``localCheckpoint`` truncates the lineage (an iterative plan otherwise
+re-executes every prior round per action and overflows the optimizer).
+High-degree hubs are exactly what large-star contracts first, so skew
+*decreases* per round. The convergence check is one tiny aggregate per
+round (count + endpoint-sum), not a collect of the edge set.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _star(e: DataFrame, large: bool) -> DataFrame:
+    """One large- or small-star round over directed edges (u, v), u > v."""
+    if large:
+        # operate on the undirected neighborhood of every node
+        nbrs = e.select("u", "v").unionAll(
+            e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        keep = F.col("v") > F.col("u")  # only strictly-larger neighbors move
+    else:
+        nbrs = e  # directed u > v: neighbors-below plus self
+        keep = F.lit(True)
+    m = nbrs.groupBy("u").agg(F.min("v").alias("_m"))
+    m = m.withColumn("_m", F.least("u", "_m"))
+    out = (
+        nbrs.join(m, "u")
+        .where(keep)
+        .select(F.col("v").alias("u"), F.col("_m").alias("v"))
+    )
+    if not large:
+        out = out.unionAll(m.select("u", F.col("_m").alias("v")))
+    return (
+        out.where(F.col("u") != F.col("v"))
+        .select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
+        .distinct()
+    )
+
+
+def connected_components(
+    edges: DataFrame,
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """(node, component) for every node appearing in ``edges``; the
+    component label is the minimum node id in the component.
+
+    Raises ``RuntimeError`` if ``max_iter`` rounds don't converge — with
+    the O(log n) star contraction that means ~2**50 nodes, i.e. never.
+    """
+    e = (
+        edges.select(
+            F.col(a_col).cast("bigint").alias("u"),
+            F.col(b_col).cast("bigint").alias("v"),
+        )
+        .where(F.col("u") != F.col("v"))
+        .select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    prev = None
+    for _ in range(max_iter):
+        e = _star(_star(e, large=True), large=False).localCheckpoint()
+        sig = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(
+                F.expr("bit_xor(xxhash64(u, v))"), F.lit(0)
+            ).alias("s"),
+        ).collect()[0]
+        cur = (sig["n"], sig["s"])
+        if cur == prev:
+            break
+        prev = cur
+    else:
+        raise RuntimeError(f"no convergence in {max_iter} star rounds")
+    # star forest: (u -> root) edges plus the roots themselves
+    children = e.select(F.col("u").alias("node"), F.col("v").alias("component"))
+    roots = e.select(F.col("v").alias("node")).distinct().withColumn(
+        "component", F.col("node")
+    )
+    return children.unionByName(roots).distinct()
+
+
+def dedup_clusters(
+    nodes: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Cluster assignment for EVERY node (singletons label themselves):
+    (id, component, cluster_size, is_canonical). Canonical = the minimum
+    id in the cluster — swap in a quality-ranked ``min_by`` upstream if
+    the keep-policy is "best doc wins" rather than "first doc wins"."""
+    cc = connected_components(pairs, a_col, b_col, max_iter)
+    out = (
+        nodes.select(F.col(id_col).cast("bigint").alias("node"))
+        .join(cc, "node", "left")
+        .select(
+            F.col("node").alias(id_col),
+            F.coalesce("component", "node").alias("component"),
+        )
+    )
+    w = Window.partitionBy("component")
+    return out.select(
+        id_col,
+        "component",
+        F.count(F.lit(1)).over(w).alias("cluster_size"),
+        (F.col(id_col) == F.col("component")).alias("is_canonical"),
+    )
