@@ -414,22 +414,13 @@ def _q_cosine_pairs(spark, sf_dir):
     """Exact embedding near-dup pairs (cosine >= 0.5) — the verification
     oracle for the LSH-bucketed variant."""
     _prep(spark)
+    from wavelet_decomposition_spark.operators.similarity import (
+        cosine_allpairs_exact,
+    )
+
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    v = F.col("embedding").cast("array<double>")
-    a = emb.select(F.col("vec_id").alias("id_a"), v.alias("va"))
-    b = emb.select(F.col("vec_id").alias("id_b"), v.alias("vb"))
-    dot = F.aggregate(
-        F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
-    )
-    na = F.sqrt(F.aggregate("va", F.lit(0.0), lambda acc, x: acc + x * x))
-    nb = F.sqrt(F.aggregate("vb", F.lit(0.0), lambda acc, x: acc + x * x))
-    return (
-        a.crossJoin(b)
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", (dot / (na * nb)).alias("cos"))
-        .filter(F.col("cos") >= 0.5)
-        .select("id_a", "id_b", F.round("cos", 6).alias("cosine"))
-    )
+    pairs = cosine_allpairs_exact(emb, threshold=0.5)
+    return pairs.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
 
 
 def _q_stratified_split(spark, sf_dir):
