@@ -564,6 +564,203 @@ def _q_asof_join(spark, sf_dir):
     )
 
 
+def _hourly_series(spark, sf_dir):
+    """Shared base for the ts-analytics queries: per-(event_type, hour)
+    mean value, ROUNDED to 6 dp so Spark and the DuckDB oracle feed
+    bit-identical inputs into the downstream window/recurrence math
+    (partial-aggregation order would otherwise leave ~1e-12 seeds that
+    argmax/threshold operators could amplify into discrete flips)."""
+    return (
+        _events(spark, sf_dir)
+        .groupBy(
+            F.col("event_type").alias("series_id"),
+            F.date_trunc("hour", F.col("ts")).alias("bucket_ts"),
+        )
+        .agg(F.round(F.avg("value"), 6).alias("v"))
+    )
+
+
+def _q_ts_rolling(spark, sf_dir):
+    """Trailing 24-bucket rolling mean/std/min/max over the hourly series
+    (operators/tsfeatures.py rolling_stats): one exchange, one sort,
+    whole-stage-codegen frame."""
+    _prep(spark)
+    from pyspark.sql import Window
+
+    from wavelet_decomposition_spark.operators.tsfeatures import rolling_stats
+
+    # The hourly means here are terminating decimals (2-dp cents / event
+    # counts), so rounded stats land EXACTLY on decimal half-boundaries
+    # where Spark's BigDecimal HALF_UP and DuckDB's scaled-double round()
+    # legitimately disagree. Fix at the root: quantize the series to exact
+    # integer micro-units, then every windowed statistic is derived from
+    # exact integer window sums via the SAME double operations in both
+    # engines — bit-identical outputs, no rounding anywhere.
+    hr = (
+        _events(spark, sf_dir)
+        .groupBy(
+            F.col("event_type").alias("series_id"),
+            F.date_trunc("hour", F.col("ts")).alias("bucket_ts"),
+        )
+        .agg(
+            F.sum(F.round(F.col("value") * 100).cast("bigint")).alias(
+                "_cents"
+            ),
+            F.count(F.lit(1)).alias("_nev"),
+        )
+        .select(
+            "series_id",
+            "bucket_ts",
+            F.floor(
+                F.col("_cents").cast("double") * 10000.0 / F.col("_nev")
+            ).alias("vm"),
+        )
+    )
+    out = rolling_stats(hr, value_col="vm", k=24)
+    # sample std from exact integer window sums (the operator's Welford
+    # stddev is association-order-dependent across engines); Catalyst
+    # merges these into the operator's existing Window node
+    w = (
+        Window.partitionBy("series_id")
+        .orderBy("bucket_ts")
+        .rowsBetween(-23, 0)
+    )
+    s = F.sum("vm").over(w).cast("double")
+    ssq = F.sum(F.col("vm") * F.col("vm")).over(w).cast("double")
+    n = F.col("roll_n")
+    var = F.greatest(
+        (ssq - s * s / n) / (n - F.lit(1)), F.lit(0.0)
+    )
+    scale = F.lit(1_000_000.0)
+    return out.withColumn("_std_exact", F.when(n > 1, F.sqrt(var))).select(
+        "series_id",
+        "bucket_ts",
+        (F.col("vm") / scale).alias("v"),
+        (F.col("roll_mean") / scale).alias("roll_mean"),
+        F.coalesce(F.col("_std_exact") / scale, F.lit(-1.0)).alias(
+            "roll_std"
+        ),
+        (F.col("roll_min") / scale).alias("roll_min"),
+        (F.col("roll_max") / scale).alias("roll_max"),
+        "roll_n",
+    )
+
+
+def _q_ts_ewma(spark, sf_dir):
+    """EWMA smoothing, adjust=False recurrence, alpha=0.25 (dyadic, so
+    alpha and 1-alpha are exact doubles in BOTH engines); Spark side is
+    the vectorized pandas kernel, oracle side a DuckDB recursive CTE
+    replaying the identical recurrence."""
+    _prep(spark)
+    from wavelet_decomposition_spark.operators.tsfeatures import ewma
+
+    out = ewma(
+        _hourly_series(spark, sf_dir), value_col="v", alpha=0.25,
+        group_col="series_id", ts_col="bucket_ts",
+    )
+    return out.select(
+        "series_id", "bucket_ts", "v", F.round("ewma", 6).alias("ewma")
+    )
+
+
+def _q_ts_acf(spark, sf_dir):
+    """Sample autocorrelation at lags 1..12 per series: one explode of
+    forward offsets + one equi-join (no per-lag window sorts), partial-
+    aggregated corr."""
+    _prep(spark)
+    from wavelet_decomposition_spark.operators.tsfeatures import acf
+
+    out = acf(_hourly_series(spark, sf_dir), value_col="v", max_lag=12)
+    return out.select(
+        "series_id",
+        F.col("lag").cast("int").alias("lag"),
+        F.round("acf", 6).alias("acf"),
+        "n_pairs",
+    )
+
+
+def _q_m4_downsample(spark, sf_dir):
+    """M4 visualization downsampling (first/last/min/max per bucket —
+    Jugel et al. VLDB'14) of the per-(type, timestamp) event series into
+    hourly pixels; ONE hash aggregate with map-side combine."""
+    _prep(spark)
+    from wavelet_decomposition_spark.operators.tsfeatures import m4_downsample
+
+    # dedupe exact-timestamp collisions first so first/last are
+    # well-defined (and the arg_min/arg_max oracle cannot go flaky)
+    base = (
+        _events(spark, sf_dir)
+        .groupBy(
+            F.col("event_type").alias("series_id"),
+            F.col("ts").alias("bucket_ts"),
+        )
+        .agg(F.round(F.avg("value"), 6).alias("v"))
+    )
+    out = m4_downsample(base, value_col="v", bucket="1 hour")
+    return out.select(
+        "series_id", "bucket_start",
+        "first_v", "last_v", "min_v", "max_v", "n_points",
+    )
+
+
+def _q_ts_anomaly(spark, sf_dir):
+    """Median/MAD modified-z outlier flags (Iglewicz–Hoaglin 3.5 cut) on
+    the hourly series; exact percentile aggregates, broadcast stats join."""
+    _prep(spark)
+    from wavelet_decomposition_spark.operators.tsfeatures import (
+        robust_anomalies,
+    )
+
+    out = robust_anomalies(_hourly_series(spark, sf_dir), value_col="v")
+    return out.select(
+        "series_id", "bucket_ts", "v",
+        F.round("robust_z", 6).alias("robust_z"),
+        "is_anomaly",
+    )
+
+
+def _q_ts_cusum(spark, sf_dir):
+    """CUSUM mean-shift change-point per series: argmax |cumsum(x-mean)|
+    plus the normalized max statistic; per-group output is one scalar row
+    so the final shuffle is one row per series."""
+    _prep(spark)
+    from wavelet_decomposition_spark.operators.tsfeatures import (
+        cusum_changepoint,
+    )
+
+    out = cusum_changepoint(_hourly_series(spark, sf_dir), value_col="v")
+    return out.select(
+        "series_id", "cp_ts", F.round("cusum_stat", 6).alias("cusum_stat"),
+        "n",
+    )
+
+
+def _q_ts_seasonal(spark, sf_dir):
+    """Classical additive seasonal decomposition (period 24 h): centered
+    moving-average trend (honest nulls at edges), zero-mean per-phase
+    seasonal, residual."""
+    _prep(spark)
+    from wavelet_decomposition_spark.operators.tsfeatures import (
+        seasonal_decompose,
+    )
+
+    out = seasonal_decompose(
+        _hourly_series(spark, sf_dir), value_col="v", period=24
+    )
+    # edge buckets (incomplete centered window) have null trend/residual;
+    # sentinel them — NaN ties in the gate's row sort scramble row order
+    # between engines even when every value agrees
+    return out.select(
+        "series_id", "bucket_ts", "v",
+        F.col("phase").cast("int").alias("phase"),
+        F.coalesce(F.round("trend", 6), F.lit(-999999.0)).alias("trend"),
+        F.round("seasonal", 6).alias("seasonal"),
+        F.coalesce(F.round("residual", 6), F.lit(-999999.0)).alias(
+            "residual"
+        ),
+    )
+
+
 def _q_sessionize(spark, sf_dir):
     """Gap-based sessionization of the event stream (30-minute gap): the
     relational window+agg form; its streaming applyInPandasWithState twin is
@@ -1663,6 +1860,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gapfill_locf": _q_gapfill_locf,
         "gapfill_interp": _q_gapfill_interp,
         "asof_join": _q_asof_join,
+        "ts_rolling": _q_ts_rolling,
+        "ts_ewma": _q_ts_ewma,
+        "ts_acf": _q_ts_acf,
+        "m4_downsample": _q_m4_downsample,
+        "ts_anomaly": _q_ts_anomaly,
+        "ts_cusum": _q_ts_cusum,
+        "ts_seasonal": _q_ts_seasonal,
         "sessionize": _q_sessionize,
         "quality_score": _q_quality_score,
         "resample_linear": _q_resample_linear,
@@ -2144,6 +2348,163 @@ def oracle_sql() -> dict[str, str]:
                        6), -1.0) AS purchase_age_s
             FROM c ASOF LEFT JOIN p
               ON c.user_id = p.user_id AND c.ts >= p.ts
+        """,
+        "ts_rolling": """
+            WITH hr AS (SELECT event_type AS series_id,
+                               date_trunc('hour', ts) AS bucket_ts,
+                               CAST(floor(
+                                   CAST(sum(CAST(round(value * 100)
+                                            AS BIGINT)) AS DOUBLE)
+                                   * 10000.0 / count(*)) AS BIGINT) AS vm
+                        FROM events GROUP BY 1, 2),
+            win AS (SELECT series_id, bucket_ts, vm,
+                           CAST(sum(vm) OVER w AS DOUBLE) AS s,
+                           CAST(sum(vm * vm) OVER w AS DOUBLE) AS ssq,
+                           CAST(min(vm) OVER w AS BIGINT) AS mn,
+                           CAST(max(vm) OVER w AS BIGINT) AS mx,
+                           count(vm) OVER w AS n
+                    FROM hr
+                    WINDOW w AS (PARTITION BY series_id ORDER BY bucket_ts
+                                 ROWS BETWEEN 23 PRECEDING
+                                          AND CURRENT ROW))
+            SELECT series_id, bucket_ts,
+                   vm / 1000000.0 AS v,
+                   (s / n) / 1000000.0 AS roll_mean,
+                   coalesce(CASE WHEN n > 1 THEN sqrt(greatest(
+                                (ssq - s * s / n) / (n - 1), 0.0))
+                            END / 1000000.0, -1.0) AS roll_std,
+                   mn / 1000000.0 AS roll_min,
+                   mx / 1000000.0 AS roll_max,
+                   n AS roll_n
+            FROM win
+        """,
+        "ts_ewma": """
+            WITH RECURSIVE
+            hr AS (SELECT event_type AS series_id,
+                          date_trunc('hour', ts) AS bucket_ts,
+                          round(avg(value), 6) AS v
+                   FROM events GROUP BY 1, 2),
+            idx AS (SELECT series_id, bucket_ts, v,
+                           row_number() OVER (PARTITION BY series_id
+                                              ORDER BY bucket_ts) AS rn
+                    FROM hr),
+            rec AS (
+                SELECT series_id, bucket_ts, v, rn, v AS s
+                FROM idx WHERE rn = 1
+                UNION ALL
+                SELECT i.series_id, i.bucket_ts, i.v, i.rn,
+                       r.s * 0.75 + i.v * 0.25
+                FROM idx i JOIN rec r
+                  ON i.series_id = r.series_id AND i.rn = r.rn + 1)
+            SELECT series_id, bucket_ts, v, round(s, 6) AS ewma FROM rec
+        """,
+        "ts_acf": """
+            WITH hr AS (SELECT event_type AS series_id,
+                               date_trunc('hour', ts) AS bucket_ts,
+                               round(avg(value), 6) AS v
+                        FROM events GROUP BY 1, 2),
+            idx AS (SELECT series_id, v,
+                           row_number() OVER (PARTITION BY series_id
+                                              ORDER BY bucket_ts) - 1 AS i
+                    FROM hr),
+            lags AS (SELECT unnest(generate_series(1, 12)) AS lag)
+            SELECT a.series_id, CAST(l.lag AS INT) AS lag,
+                   round(corr(a.v, b.v), 6) AS acf,
+                   count(*) AS n_pairs
+            FROM idx a
+            CROSS JOIN lags l
+            JOIN idx b ON a.series_id = b.series_id
+                      AND b.i = a.i - l.lag
+            GROUP BY 1, 2
+        """,
+        "m4_downsample": """
+            WITH base AS (SELECT event_type AS series_id, ts AS bucket_ts,
+                                 round(avg(value), 6) AS v
+                          FROM events GROUP BY 1, 2)
+            SELECT series_id,
+                   date_trunc('hour', bucket_ts) AS bucket_start,
+                   arg_min(v, bucket_ts) AS first_v,
+                   arg_max(v, bucket_ts) AS last_v,
+                   min(v) AS min_v,
+                   max(v) AS max_v,
+                   count(*) AS n_points
+            FROM base GROUP BY 1, 2
+        """,
+        "ts_anomaly": """
+            WITH hr AS (SELECT event_type AS series_id,
+                               date_trunc('hour', ts) AS bucket_ts,
+                               round(avg(value), 6) AS v
+                        FROM events GROUP BY 1, 2),
+            med AS (SELECT series_id, quantile_cont(v, 0.5) AS m
+                    FROM hr GROUP BY 1),
+            mad AS (SELECT h.series_id,
+                           quantile_cont(abs(h.v - m.m), 0.5) AS d
+                    FROM hr h JOIN med m USING (series_id) GROUP BY 1)
+            SELECT h.series_id, h.bucket_ts, h.v,
+                   round(0.6745 * (h.v - m.m) / d.d, 6) AS robust_z,
+                   abs(0.6745 * (h.v - m.m) / d.d) > 3.5 AS is_anomaly
+            FROM hr h
+            JOIN med m USING (series_id)
+            JOIN mad d USING (series_id)
+        """,
+        "ts_cusum": """
+            WITH hr AS (SELECT event_type AS series_id,
+                               date_trunc('hour', ts) AS bucket_ts,
+                               round(avg(value), 6) AS v
+                        FROM events GROUP BY 1, 2),
+            st AS (SELECT series_id, avg(v) AS mu,
+                          stddev_samp(v) AS sd, count(*) AS n
+                   FROM hr GROUP BY 1),
+            cum AS (SELECT h.series_id, h.bucket_ts,
+                           sum(h.v) OVER (PARTITION BY h.series_id
+                                          ORDER BY h.bucket_ts
+                                          ROWS UNBOUNDED PRECEDING)
+                           - row_number() OVER (PARTITION BY h.series_id
+                                                ORDER BY h.bucket_ts)
+                             * s.mu AS s_t,
+                           s.sd, s.n
+                    FROM hr h JOIN st s USING (series_id)),
+            ranked AS (SELECT *,
+                              max(abs(s_t)) OVER (PARTITION BY series_id)
+                                  AS max_abs,
+                              row_number() OVER (PARTITION BY series_id
+                                                 ORDER BY abs(s_t) DESC,
+                                                          bucket_ts)
+                                  AS rk
+                       FROM cum)
+            SELECT series_id, bucket_ts AS cp_ts,
+                   round(max_abs / (sd * sqrt(n)), 6) AS cusum_stat, n
+            FROM ranked WHERE rk = 1
+        """,
+        "ts_seasonal": """
+            WITH hr AS (SELECT event_type AS series_id,
+                               date_trunc('hour', ts) AS bucket_ts,
+                               round(avg(value), 6) AS v
+                        FROM events GROUP BY 1, 2),
+            base AS (SELECT series_id, bucket_ts, v,
+                            CAST((row_number() OVER wobs - 1) % 24 AS INT)
+                                AS phase,
+                            CASE WHEN count(v) OVER wt = 25
+                                 THEN avg(v) OVER wt END AS trend
+                     FROM hr
+                     WINDOW wobs AS (PARTITION BY series_id
+                                     ORDER BY bucket_ts),
+                            wt AS (PARTITION BY series_id
+                                   ORDER BY bucket_ts
+                                   ROWS BETWEEN 12 PRECEDING
+                                            AND 12 FOLLOWING)),
+            ph0 AS (SELECT series_id, phase, avg(v - trend) AS raw_s
+                    FROM base GROUP BY 1, 2),
+            ph AS (SELECT series_id, phase,
+                          raw_s - avg(raw_s) OVER (PARTITION BY series_id)
+                              AS seasonal
+                   FROM ph0)
+            SELECT b.series_id, b.bucket_ts, b.v, b.phase,
+                   coalesce(round(b.trend, 6), -999999.0) AS trend,
+                   round(p.seasonal, 6) AS seasonal,
+                   coalesce(round(b.v - b.trend - p.seasonal, 6),
+                            -999999.0) AS residual
+            FROM base b JOIN ph p USING (series_id, phase)
         """,
         "sessionize": """
             WITH ordered AS (

@@ -169,6 +169,18 @@ def main():
         "pricing_summary", "nation_revenue", "dedup_groups", "ngram_jaccard",
         "ngram_jaccard_bounded", "doc_stats", "ann_topk", "minhash_pairs",
         "simhash_near", "gorilla_blocks", "translation_search", "sessionize",
+        # round-4 additions: as-of join + interpolating gap-fill (timeseries),
+        # cluster contraction over near-dup pairs (GEMM exact pair list +
+        # large/small-star components), benchmark decontamination, and
+        # deterministic hash-split
+        "asof_join", "gapfill_interp", "dedup_clusters", "decontaminate",
+        "stratified_split",
+        # ts-analytics pack: rolling stats (exact-integer window sums),
+        # EWMA (Arrow pandas recurrence), ACF (explode+join, no per-lag
+        # sorts), M4 pixel downsampling, median/MAD anomalies, CUSUM
+        # change-point, classical seasonal decomposition
+        "ts_rolling", "ts_ewma", "ts_acf", "m4_downsample", "ts_anomaly",
+        "ts_cusum", "ts_seasonal",
         # the reference's complete E3 offline job (3 families x 23,360
         # LSQR fits, golden-parity invariant riding on every row) —
         # reference-equivalent cost: "hours single-core per year"

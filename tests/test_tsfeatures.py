@@ -1,0 +1,219 @@
+"""Time-series analytics operators vs independent numpy/pandas oracles
+(the driver's DuckDB oracles check the same semantics a third way)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from wavelet_decomposition_spark.operators.tsfeatures import (
+    acf,
+    cusum_changepoint,
+    ewma,
+    m4_downsample,
+    robust_anomalies,
+    rolling_stats,
+    seasonal_decompose,
+)
+
+
+@pytest.fixture(scope="module")
+def series_pdf():
+    rng = np.random.default_rng(11)
+    frames = []
+    for g in ("a", "b", "c"):
+        n = int(rng.integers(120, 200))
+        ts = pd.date_range("2024-03-01", periods=n, freq="h")
+        # trend + daily season + noise, plus a few planted outliers
+        v = (
+            np.linspace(0, 5, n)
+            + 3 * np.sin(2 * np.pi * np.arange(n) / 24)
+            + rng.normal(0, 0.3, n)
+        )
+        v[n // 3] += 40.0
+        frames.append(
+            pd.DataFrame({"series_id": g, "bucket_ts": ts, "v": v})
+        )
+    return pd.concat(frames, ignore_index=True)
+
+
+@pytest.fixture(scope="module")
+def series_df(spark, series_pdf):
+    return spark.createDataFrame(series_pdf).repartition(7)
+
+
+def _per_group(pdf):
+    for g, gd in pdf.groupby("series_id"):
+        yield g, gd.sort_values("bucket_ts").reset_index(drop=True)
+
+
+def test_rolling_matches_pandas(series_df, series_pdf):
+    out = (
+        rolling_stats(series_df, value_col="v", k=24)
+        .toPandas()
+        .sort_values(["series_id", "bucket_ts"])
+        .reset_index(drop=True)
+    )
+    for g, gd in _per_group(series_pdf):
+        got = out[out.series_id == g].reset_index(drop=True)
+        r = gd["v"].rolling(24, min_periods=1)
+        np.testing.assert_allclose(got["roll_mean"], r.mean(), rtol=1e-12)
+        exp_std = gd["v"].rolling(24, min_periods=2).std()
+        np.testing.assert_allclose(
+            got["roll_std"], exp_std, rtol=1e-9, equal_nan=True
+        )
+        np.testing.assert_allclose(got["roll_min"], r.min(), rtol=0)
+        np.testing.assert_allclose(got["roll_max"], r.max(), rtol=0)
+        assert (got["roll_n"] == np.minimum(np.arange(len(gd)) + 1, 24)).all()
+
+
+def test_ewma_matches_recursion(series_df, series_pdf):
+    alpha = 0.3
+    out = (
+        ewma(series_df, value_col="v", alpha=alpha)
+        .toPandas()
+        .sort_values(["series_id", "bucket_ts"])
+        .reset_index(drop=True)
+    )
+    for g, gd in _per_group(series_pdf):
+        got = out[out.series_id == g]["ewma"].to_numpy()
+        s = np.empty(len(gd))
+        s[0] = gd["v"].iloc[0]
+        for i in range(1, len(gd)):
+            s[i] = (1 - alpha) * s[i - 1] + alpha * gd["v"].iloc[i]
+        np.testing.assert_allclose(got, s, rtol=1e-12)
+
+
+def test_acf_matches_numpy(series_df, series_pdf):
+    out = acf(series_df, value_col="v", max_lag=30).toPandas()
+    for g, gd in _per_group(series_pdf):
+        x = gd["v"].to_numpy()
+        for lag in (1, 12, 24, 30):
+            row = out[(out.series_id == g) & (out.lag == lag)]
+            exp = np.corrcoef(x[lag:], x[:-lag])[0, 1]
+            assert row["n_pairs"].iloc[0] == len(x) - lag
+            np.testing.assert_allclose(
+                row["acf"].iloc[0], exp, rtol=1e-9
+            )
+        # daily seasonality must dominate: acf(24) > acf(12)
+        a = out[out.series_id == g].set_index("lag")["acf"]
+        assert a[24] > a[12]
+
+
+def test_m4_matches_pandas(series_df, series_pdf):
+    out = m4_downsample(
+        series_df, value_col="v", bucket="1 day"
+    ).toPandas()
+    for g, gd in _per_group(series_pdf):
+        gd = gd.assign(day=gd["bucket_ts"].dt.floor("D"))
+        exp = gd.groupby("day")["v"].agg(["first", "last", "min", "max", "size"])
+        got = (
+            out[out.series_id == g]
+            .set_index("bucket_start")
+            .sort_index()
+        )
+        np.testing.assert_allclose(got["first_v"], exp["first"], rtol=0)
+        np.testing.assert_allclose(got["last_v"], exp["last"], rtol=0)
+        np.testing.assert_allclose(got["min_v"], exp["min"], rtol=0)
+        np.testing.assert_allclose(got["max_v"], exp["max"], rtol=0)
+        assert (got["n_points"].to_numpy() == exp["size"].to_numpy()).all()
+
+
+def test_m4_last_tie_break_is_deterministic(spark):
+    # two points share the max timestamp within the bucket: last_v must be
+    # the larger value (struct (ts, v) ordering), independent of input order
+    from datetime import datetime
+
+    rows = [
+        ("s", datetime(2024, 1, 1, 0, 10), 5.0),
+        ("s", datetime(2024, 1, 1, 0, 50), 2.0),
+        ("s", datetime(2024, 1, 1, 0, 50), 7.0),
+    ]
+    for perm in ([0, 1, 2], [2, 1, 0], [1, 2, 0]):
+        df = spark.createDataFrame(
+            [rows[i] for i in perm], "series_id string, bucket_ts timestamp, v double"
+        ).repartition(3)
+        got = m4_downsample(df, value_col="v", bucket="1 hour").collect()[0]
+        assert got["last_v"] == 7.0 and got["first_v"] == 5.0
+
+
+def test_robust_anomalies_flags_planted_outliers(series_df, series_pdf):
+    out = robust_anomalies(series_df, value_col="v").toPandas()
+    for g, gd in _per_group(series_pdf):
+        med = np.median(gd["v"])
+        mad = np.median(np.abs(gd["v"] - med))
+        got = (
+            out[out.series_id == g]
+            .sort_values("bucket_ts")
+            .reset_index(drop=True)
+        )
+        exp_z = 0.6745 * (gd["v"] - med) / mad
+        np.testing.assert_allclose(got["robust_z"], exp_z, rtol=1e-9)
+        # the planted +40 spike is the argmax and must be flagged
+        assert got["is_anomaly"].iloc[int(np.argmax(gd["v"].to_numpy()))]
+
+
+def test_cusum_finds_planted_level_shift(spark):
+    rng = np.random.default_rng(5)
+    n, cp = 300, 210
+    v = rng.normal(0, 1, n)
+    v[cp:] += 3.0
+    pdf = pd.DataFrame(
+        {
+            "series_id": "s",
+            "bucket_ts": pd.date_range("2024-01-01", periods=n, freq="h"),
+            "v": v,
+        }
+    )
+    out = cusum_changepoint(
+        spark.createDataFrame(pdf).repartition(4), value_col="v"
+    ).collect()[0]
+    got_idx = pdf[pdf.bucket_ts == out["cp_ts"]].index[0]
+    # numpy oracle: argmax |cumsum(x - mean)|
+    s = np.cumsum(v - v.mean())
+    assert got_idx == int(np.argmax(np.abs(s)))
+    assert abs(got_idx - (cp - 1)) <= 3
+    assert out["cusum_stat"] > 1.36  # decisive at 5% KS level
+    assert out["n"] == n
+
+
+def test_seasonal_decompose_identities(series_df, series_pdf):
+    period = 24
+    out = (
+        seasonal_decompose(series_df, value_col="v", period=period)
+        .toPandas()
+        .sort_values(["series_id", "bucket_ts"])
+        .reset_index(drop=True)
+    )
+    for g, gd in _per_group(series_pdf):
+        got = out[out.series_id == g].reset_index(drop=True)
+        # additive identity wherever trend is defined
+        inner = got.dropna(subset=["trend"])
+        np.testing.assert_allclose(
+            inner["v"],
+            inner["trend"] + inner["seasonal"] + inner["residual"],
+            rtol=1e-12,
+        )
+        # trend null exactly at the half-window edges
+        half = period // 2
+        assert got["trend"].isna().to_numpy()[:half].all()
+        assert got["trend"].isna().to_numpy()[-half:].all()
+        assert got["trend"].notna().to_numpy()[half:-half].all()
+        # seasonal is per-phase constant and zero-mean across phases
+        per_phase = got.groupby("phase")["seasonal"].nunique()
+        assert (per_phase == 1).all()
+        np.testing.assert_allclose(
+            got.groupby("phase")["seasonal"].first().sum(), 0, atol=1e-9
+        )
+        # the planted 24h sine must be captured: seasonal amplitude >= ~3
+        # (no tight upper bound — the planted outlier spike leaks ~+2
+        # into its own phase's mean, which is correct behavior)
+        amp = got.groupby("phase")["seasonal"].first()
+        assert amp.max() > 2.0 and amp.min() < -2.0
+
+
+def test_rolling_plan_single_exchange(spark, series_pdf):
+    df = spark.createDataFrame(series_pdf)  # no pre-repartition noise
+    plan = rolling_stats(df, value_col="v", k=24)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan

@@ -1,0 +1,303 @@
+"""Classic time-series analytics over grouped, timestamped series —
+rolling statistics, EWMA smoothing, autocorrelation, robust anomaly
+flagging, CUSUM change-point location, and additive seasonal
+decomposition. The reference engine reaches these semantics only through
+its fixed annual wavelet grids (`wavelet_decomposition.py` assumes dense
+365*64 indices); a transcript/event workload needs them over arbitrary
+per-key series, so they are engine-native generalizations, not ports.
+
+Every operator here shares one scale shape: a single exchange on the
+group key (or none, when the input is already bucketed by an upstream
+rollup), whole-stage-codegen window/aggregate expressions, and zero
+per-row Python. The only Python stage is EWMA's vectorized pandas kernel
+— the same Arrow `applyInPandas` discipline as the wavelet pyramid, used
+because an exponentially-decaying scan is the one recurrence a SQL window
+frame cannot stream in O(n) (closed-form weight expansion overflows
+(1-a)^-t past a few hundred rows).
+
+At 100 TB: per-group series length is bounded by the retention tier (a
+year of 1-minute buckets is 525,600 rows — one executor's window sort,
+spill-safe), while the NUMBER of groups provides the parallelism. Skewed
+group sizes are a non-issue for window ops (one pass), and the
+aggregation operators (`acf`, `cusum`, `seasonal`) reduce to per-group
+scalars map-side before any shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def rolling_stats(
+    series: DataFrame,
+    value_col: str = "v",
+    k: int = 24,
+    group_col: str = "series_id",
+    ts_col: str = "bucket_ts",
+) -> DataFrame:
+    """Trailing-window mean/std/min/max over the last ``k`` observations
+    (row-based frame: the series is already on a regular bucket grid —
+    compose with ``gapfill_*`` first if it is not, or missing buckets
+    silently shrink the window)."""
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(ts_col)
+        .rowsBetween(-(k - 1), 0)
+    )
+    v = F.col(value_col)
+    return series.select(
+        group_col,
+        ts_col,
+        value_col,
+        F.avg(v).over(w).alias("roll_mean"),
+        F.stddev_samp(v).over(w).alias("roll_std"),
+        F.min(v).over(w).alias("roll_min"),
+        F.max(v).over(w).alias("roll_max"),
+        F.count(v).over(w).alias("roll_n"),
+    )
+
+
+def ewma(
+    series: DataFrame,
+    value_col: str = "v",
+    alpha: float = 0.2,
+    group_col: str = "series_id",
+    ts_col: str = "bucket_ts",
+) -> DataFrame:
+    """Exponentially-weighted moving average, ``adjust=False`` semantics:
+    ``s_0 = x_0``; ``s_t = (1-alpha)*s_{t-1} + alpha*x_t``.
+
+    One shuffle on the group key, then a vectorized pandas scan per group
+    (C-implemented ``Series.ewm``; no Python-level per-row loop). A SQL
+    window cannot express this recurrence without expanding weights
+    ``(1-alpha)^(t-i)`` whose reciprocals overflow float64 beyond a few
+    hundred rows, so the Arrow UDF is the honest plan — the same shape as
+    the engine's wavelet kernels. An exact-recursion equivalence test
+    pins the pandas kernel; the driver's DuckDB oracle replays the same
+    recurrence as a recursive CTE.
+    """
+    import pandas as pd  # noqa: F401  (documents the kernel dependency)
+
+    out_schema = (
+        f"{group_col} string, {ts_col} timestamp, "
+        f"{value_col} double, ewma double"
+    )
+
+    def fit(pdf):
+        pdf = pdf.sort_values(ts_col)
+        pdf = pdf[[group_col, ts_col, value_col]]
+        pdf["ewma"] = (
+            pdf[value_col].ewm(alpha=alpha, adjust=False).mean()
+        )
+        return pdf
+
+    return series.select(group_col, ts_col, value_col).groupBy(
+        group_col
+    ).applyInPandas(fit, schema=out_schema)
+
+
+def acf(
+    series: DataFrame,
+    value_col: str = "v",
+    max_lag: int = 12,
+    group_col: str = "series_id",
+    ts_col: str = "bucket_ts",
+) -> DataFrame:
+    """Sample autocorrelation at lags ``1..max_lag`` per group:
+    ``corr(x_t, x_{t-lag})`` over the aligned pairs (the "naive"
+    per-lag-Pearson estimator — matches any SQL engine's ``corr`` on the
+    same pair set, which is the point; the Bartlett-windowed estimator is
+    a different statistic).
+
+    Shape: index rows once per group, explode each row into its
+    ``max_lag`` forward offsets, equi-join back on (group, idx) — one
+    shuffle of n*max_lag rows, then a partial-aggregated ``corr`` per
+    (group, lag). No per-lag window passes (which would sort n rows
+    ``max_lag`` times)."""
+    w = Window.partitionBy(group_col).orderBy(ts_col)
+    base = series.select(
+        group_col,
+        F.col(value_col).alias("_x"),
+        (F.row_number().over(w) - 1).alias("_idx"),
+    )
+    lagged = base.select(
+        group_col,
+        F.col("_x").alias("_y"),
+        F.explode(
+            F.sequence(F.lit(1), F.lit(max_lag))
+        ).alias("lag"),
+        F.col("_idx"),
+    ).select(
+        group_col, "_y", "lag", (F.col("_idx") + F.col("lag")).alias("_idx")
+    )
+    pairs = base.join(lagged, [group_col, "_idx"])
+    return (
+        pairs.groupBy(group_col, "lag")
+        .agg(
+            F.corr("_x", "_y").alias("acf"),
+            F.count(F.lit(1)).alias("n_pairs"),
+        )
+        .orderBy(group_col, "lag")
+    )
+
+
+def m4_downsample(
+    series: DataFrame,
+    value_col: str = "v",
+    bucket: str = "1 hour",
+    group_col: str = "series_id",
+    ts_col: str = "bucket_ts",
+) -> DataFrame:
+    """M4 visualization downsampling (Jugel et al., VLDB'14): per time
+    bucket keep exactly the first, last, min, and max points — the four
+    values that make a line rendering of the bucket pixel-identical to
+    the full-resolution series. ONE hash aggregate with map-side partial
+    combine; ties on equal values/timestamps resolved by earliest
+    timestamp (``min_by`` on a (v, ts) / (ts) struct) so output is
+    partitioning-independent."""
+    b = F.window(F.col(ts_col), bucket)["start"].alias("bucket_start")
+    v, t = F.col(value_col), F.col(ts_col)
+    return (
+        series.groupBy(group_col, b)
+        .agg(
+            F.min_by(v, t).alias("first_v"),
+            F.max_by(v, F.struct(t, v)).alias("last_v"),
+            F.min(v).alias("min_v"),
+            F.max(v).alias("max_v"),
+            F.count(F.lit(1)).alias("n_points"),
+        )
+    )
+
+
+def robust_anomalies(
+    series: DataFrame,
+    value_col: str = "v",
+    z_cut: float = 3.5,
+    group_col: str = "series_id",
+    ts_col: str = "bucket_ts",
+) -> DataFrame:
+    """Median/MAD outlier flags (Iglewicz–Hoaglin modified z-score:
+    ``0.6745*(x-median)/MAD``, cut at 3.5). Mean/std anomaly scoring is
+    circular — the anomalies inflate the std that is supposed to expose
+    them; the 50% breakdown point of median/MAD is why every production
+    monitor uses this form.
+
+    Two exact ``percentile`` aggregates per group (map-side partial),
+    broadcast back in one small join — the series itself is scanned
+    twice but shuffled never (percentile partials and the tiny per-group
+    stats move)."""
+    med = series.groupBy(group_col).agg(
+        F.percentile(value_col, F.lit(0.5)).alias("_med")
+    )
+    dev = series.join(F.broadcast(med), group_col).select(
+        group_col,
+        ts_col,
+        F.col(value_col),
+        F.col("_med"),
+        F.abs(F.col(value_col) - F.col("_med")).alias("_adev"),
+    )
+    mad = dev.groupBy(group_col).agg(
+        F.percentile("_adev", F.lit(0.5)).alias("_mad")
+    )
+    z = F.lit(0.6745) * (F.col(value_col) - F.col("_med")) / F.col("_mad")
+    return dev.join(F.broadcast(mad), group_col).select(
+        group_col,
+        ts_col,
+        value_col,
+        z.alias("robust_z"),
+        (F.abs(z) > z_cut).alias("is_anomaly"),
+    )
+
+
+def cusum_changepoint(
+    series: DataFrame,
+    value_col: str = "v",
+    group_col: str = "series_id",
+    ts_col: str = "bucket_ts",
+) -> DataFrame:
+    """Single most-likely mean-shift location per group via the CUSUM
+    statistic: ``S_t = cumsum(x - mean)``; the change point is the
+    ``argmax |S_t|`` and the normalized statistic ``max|S|/(std*sqrt(n))``
+    is the scale-free evidence size (≳1.36 ≈ 5% KS significance).
+
+    One window cumsum (single exchange+sort per group) and one per-group
+    ``max_by`` — the per-group outputs are scalars, so the final shuffle
+    moves one row per series regardless of series length."""
+    stats = Window.partitionBy(group_col)
+    wcum = (
+        Window.partitionBy(group_col)
+        .orderBy(ts_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    v = F.col(value_col)
+    cum = series.select(
+        group_col,
+        ts_col,
+        (F.sum(v).over(wcum)
+         - F.row_number().over(Window.partitionBy(group_col).orderBy(ts_col))
+         * F.avg(v).over(stats)).alias("_s"),
+        F.stddev_samp(v).over(stats).alias("_sd"),
+        F.count(v).over(stats).alias("_n"),
+    )
+    # argmax |S| with earliest-ts tie-break, partitioning-independent
+    return cum.groupBy(group_col).agg(
+        F.min_by(ts_col, F.struct(
+            (-F.abs(F.col("_s"))).alias("a"), F.col(ts_col).alias("t")
+        )).alias("cp_ts"),
+        (F.max(F.abs("_s")) / (F.first("_sd") * F.sqrt(F.first("_n"))))
+        .alias("cusum_stat"),
+        F.first("_n").alias("n"),
+    )
+
+
+def seasonal_decompose(
+    series: DataFrame,
+    value_col: str = "v",
+    period: int = 24,
+    group_col: str = "series_id",
+    ts_col: str = "bucket_ts",
+) -> DataFrame:
+    """Additive seasonal decomposition, moving-average flavor (the
+    classical `decompose`): trend = centered (period+1)-point moving
+    average (null at the edges where the window is incomplete — honest
+    nulls, not zero-padding), seasonal = per-phase mean of the detrended
+    interior re-centered to sum to zero, residual = x - trend - seasonal.
+
+    Expects a gap-free regular grid (compose with ``gapfill_*``); phase
+    is positional (row_number mod period), so a missing bucket would
+    silently shift every later phase. Three window/aggregate passes over
+    one exchange; per-phase means are a (group, phase) hash aggregate of
+    scalars."""
+    half = period // 2
+    wobs = Window.partitionBy(group_col).orderBy(ts_col)
+    wtrend = wobs.rowsBetween(-half, half)
+    v = F.col(value_col)
+    base = series.select(
+        group_col,
+        ts_col,
+        v,
+        ((F.row_number().over(wobs) - 1) % period).alias("phase"),
+        F.when(
+            F.count(v).over(wtrend) == period + 1, F.avg(v).over(wtrend)
+        ).alias("trend"),
+    )
+    ph = base.groupBy(group_col, "phase").agg(
+        F.avg(v - F.col("trend")).alias("_raw_seasonal")
+    )
+    ph = ph.select(
+        group_col,
+        "phase",
+        (F.col("_raw_seasonal")
+         - F.avg("_raw_seasonal").over(Window.partitionBy(group_col)))
+        .alias("seasonal"),
+    )
+    return base.join(F.broadcast(ph), [group_col, "phase"]).select(
+        group_col,
+        ts_col,
+        value_col,
+        "phase",
+        "trend",
+        "seasonal",
+        (v - F.col("trend") - F.col("seasonal")).alias("residual"),
+    )
