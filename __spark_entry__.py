@@ -761,6 +761,64 @@ def _q_ts_seasonal(spark, sf_dir):
     )
 
 
+def _q_pii_redact(spark, sf_dir):
+    """PII redaction (email/IPv4/phone -> typed placeholders) with
+    per-category counts. The synthetic corpus has no organic PII, so the
+    query PLANTS deterministic doc_id-derived PII in both engines first —
+    the redaction regexes (common Java-regex/RE2 subset) then have real
+    spans to find. Pure JVM regexp chain, zero shuffles."""
+    _prep(spark)
+    from wavelet_decomposition_spark.operators.textclean import redact_pii
+
+    d = F.col("doc_id")
+    planted = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" u"), d.cast("string"), F.lit("@example.com 10."),
+            (d % 200).cast("string"), F.lit(".0."),
+            (d % 250).cast("string"), F.lit(" +1 (555) 010-"),
+            F.lpad((d % 10000).cast("string"), 4, "0"),
+        ).alias("text"),
+    )
+    return redact_pii(planted)
+
+
+def _q_strip_html(spark, sf_dir):
+    """HTML boilerplate strip + entity unescape + whitespace collapse
+    (tags planted deterministically — see _q_pii_redact)."""
+    _prep(spark)
+    from wavelet_decomposition_spark.operators.textclean import strip_html
+
+    planted = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.lit("<p class=\"x\">"), F.col("text"),
+            F.lit("</p> &amp; <a href=\"y\">link &lt;here&gt;</a>"),
+        ).alias("text"),
+    )
+    return strip_html(planted)
+
+
+def _q_repetition_ratio(spark, sf_dir):
+    """Intra-doc 3-gram repetition quality signal: repeated-gram fraction
+    and single-most-frequent-gram share; one explode + one count
+    aggregate + one per-doc rollup."""
+    _prep(spark)
+    from wavelet_decomposition_spark.operators.textclean import (
+        repetition_ratio,
+    )
+
+    out = repetition_ratio(_docs(spark, sf_dir), n=3)
+    return out.select(
+        F.col("id").alias("doc_id"),
+        "n_grams",
+        "n_distinct",
+        F.round("dup_ratio", 6).alias("dup_ratio"),
+        F.round("top_gram_frac", 6).alias("top_gram_frac"),
+    )
+
+
 def _q_sessionize(spark, sf_dir):
     """Gap-based sessionization of the event stream (30-minute gap): the
     relational window+agg form; its streaming applyInPandasWithState twin is
@@ -1860,6 +1918,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gapfill_locf": _q_gapfill_locf,
         "gapfill_interp": _q_gapfill_interp,
         "asof_join": _q_asof_join,
+        "pii_redact": _q_pii_redact,
+        "strip_html": _q_strip_html,
+        "repetition_ratio": _q_repetition_ratio,
         "ts_rolling": _q_ts_rolling,
         "ts_ewma": _q_ts_ewma,
         "ts_acf": _q_ts_acf,
@@ -2348,6 +2409,78 @@ def oracle_sql() -> dict[str, str]:
                        6), -1.0) AS purchase_age_s
             FROM c ASOF LEFT JOIN p
               ON c.user_id = p.user_id AND c.ts >= p.ts
+        """,
+        "pii_redact": """
+            WITH planted AS (
+                SELECT doc_id,
+                       text || ' u' || CAST(doc_id AS VARCHAR)
+                            || '@example.com 10.'
+                            || CAST(doc_id % 200 AS VARCHAR) || '.0.'
+                            || CAST(doc_id % 250 AS VARCHAR)
+                            || ' +1 (555) 010-'
+                            || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                           AS text
+                FROM documents),
+            s1 AS (SELECT doc_id,
+                          len(regexp_extract_all(text,
+                              '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
+                              AS n_emails,
+                          regexp_replace(text,
+                              '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                              '<EMAIL>', 'g') AS t
+                   FROM planted),
+            s2 AS (SELECT doc_id, n_emails,
+                          len(regexp_extract_all(t,
+                              '([0-9]{1,3}\\.){3}[0-9]{1,3}')) AS n_ips,
+                          regexp_replace(t,
+                              '([0-9]{1,3}\\.){3}[0-9]{1,3}',
+                              '<IP>', 'g') AS t
+                   FROM s1)
+            SELECT doc_id,
+                   regexp_replace(t,
+                       '\\+?[0-9][0-9()\\s.-]{6,}[0-9]',
+                       '<PHONE>', 'g') AS redacted,
+                   CAST(n_emails AS INT) AS n_emails,
+                   CAST(n_ips AS INT) AS n_ips,
+                   CAST(len(regexp_extract_all(t,
+                       '\\+?[0-9][0-9()\\s.-]{6,}[0-9]')) AS INT)
+                       AS n_phones
+            FROM s2
+        """,
+        "strip_html": """
+            WITH planted AS (
+                SELECT doc_id,
+                       '<p class="x">' || text
+                           || '</p> &amp; <a href="y">link &lt;here&gt;</a>'
+                           AS text
+                FROM documents)
+            SELECT doc_id,
+                   trim(regexp_replace(
+                       replace(replace(replace(replace(replace(
+                           regexp_replace(text, '<[^>]*>', ' ', 'g'),
+                           '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+                           '&apos;', ''''), '&amp;', '&'),
+                       '\\s+', ' ', 'g')) AS clean
+            FROM planted
+        """,
+        "repetition_ratio": """
+            WITH docs AS (SELECT doc_id,
+                                 string_split(trim(regexp_replace(
+                                     lower(text), '\\s+', ' ', 'g')), ' ')
+                                     AS w
+                          FROM documents),
+            g AS (SELECT doc_id,
+                         concat_ws(' ', w[i], w[i+1], w[i+2]) AS g
+                  FROM docs,
+                       unnest(generate_series(1, greatest(len(w) - 2, 1)))
+                           AS t(i)),
+            pg AS (SELECT doc_id, g, count(*) AS c FROM g GROUP BY 1, 2)
+            SELECT doc_id,
+                   CAST(sum(c) AS BIGINT) AS n_grams,
+                   count(*) AS n_distinct,
+                   round(1.0 - count(*) * 1.0 / sum(c), 6) AS dup_ratio,
+                   round(max(c) * 1.0 / sum(c), 6) AS top_gram_frac
+            FROM pg GROUP BY 1
         """,
         "ts_rolling": """
             WITH hr AS (SELECT event_type AS series_id,

@@ -181,6 +181,9 @@ def main():
         # change-point, classical seasonal decomposition
         "ts_rolling", "ts_ewma", "ts_acf", "m4_downsample", "ts_anomaly",
         "ts_cusum", "ts_seasonal",
+        # text cleaning: PII redaction + boilerplate strip + intra-doc
+        # repetition scoring (pure JVM regexp/aggregate paths)
+        "pii_redact", "repetition_ratio",
         # the reference's complete E3 offline job (3 families x 23,360
         # LSQR fits, golden-parity invariant riding on every row) —
         # reference-equivalent cost: "hours single-core per year"
