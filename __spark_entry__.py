@@ -1840,6 +1840,67 @@ def _q_stream_sessionize_drain(spark, sf_dir):
     )
 
 
+def _q_stream_ewma_drain(spark, sf_dir):
+    """Streaming EWMA, driver-exposed: the hourly series is split into two
+    time halves, drained through the stateful recurrence in TWO sequential
+    availableNow runs sharing one checkpoint (so the second run really
+    exercises cross-restart state continuation), then compared bit-exactly
+    against the batch ewma operator over the full series — ``invariant_ok``
+    on the summary row = every bucket emitted exactly once with an ewma
+    equal to the batch kernel's."""
+    _prep(spark)
+    import shutil
+    import tempfile
+
+    from wavelet_decomposition_spark.operators.tsfeatures import ewma
+    from wavelet_decomposition_spark.streaming.stateful import stream_ewma
+
+    hr = _hourly_series(spark, sf_dir).select(
+        "series_id", "bucket_ts", F.col("v").cast("double").alias("v")
+    )
+    mid = hr.agg(
+        F.expr("percentile(unix_micros(bucket_ts), 0.5)")
+    ).collect()[0][0]
+    base = f"{tempfile.gettempdir()}/wds_stream_ewma_drain"
+    shutil.rmtree(base, ignore_errors=True)
+    in_p, out_p, ck = f"{base}/in", f"{base}/out", f"{base}/ck"
+    schema = "series_id string, bucket_ts timestamp, v double"
+    t = F.unix_micros(F.col("bucket_ts"))
+    hr.filter(t <= mid).write.mode("append").parquet(in_p)
+    stream_ewma(spark, in_p, out_p, ck, schema, alpha=0.25).awaitTermination(
+        300
+    )
+    hr.filter(t > mid).write.mode("append").parquet(in_p)
+    stream_ewma(spark, in_p, out_p, ck, schema, alpha=0.25).awaitTermination(
+        300
+    )
+
+    streamed = spark.read.parquet(out_p).select(
+        "series_id", "bucket_ts", "ewma"
+    )
+    batch = ewma(
+        hr, value_col="v", alpha=0.25, group_col="series_id",
+        ts_col="bucket_ts",
+    ).select("series_id", "bucket_ts", F.col("ewma").alias("ewma_b"))
+    j = streamed.join(batch, ["series_id", "bucket_ts"], "full_outer")
+    return j.agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.sum(
+            (
+                F.col("ewma").isNull()
+                | F.col("ewma_b").isNull()
+                | (F.col("ewma") != F.col("ewma_b"))
+            ).cast("long")
+        ).alias("n_mismatch"),
+    ).select(
+        "n_buckets",
+        "n_mismatch",
+        ((F.col("n_mismatch") == 0) & (F.col("n_buckets") > 0)).alias(
+            "invariant_ok"
+        ),
+    )
+
+
 def _q_stream_rollup_drain(spark, sf_dir):
     """Streaming 1m-tier facade, driver-exposed: availableNow drain of a
     transcript snapshot through stream_rollup_1m, then an exact comparison
@@ -1957,6 +2018,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "full_decomposition": _q_full_decomposition,
         "stream_sessionize_drain": _q_stream_sessionize_drain,
         "stream_rollup_drain": _q_stream_rollup_drain,
+        "stream_ewma_drain": _q_stream_ewma_drain,
     }
 
 

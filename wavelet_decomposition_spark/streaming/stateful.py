@@ -164,3 +164,100 @@ def stream_sessionize(
         .trigger(availableNow=True)
         .start()
     )
+
+
+# --- streaming EWMA -------------------------------------------------------
+
+EWMA_OUT_SCHEMA = (
+    "series_id string, bucket_ts timestamp, v double, ewma double"
+)
+# (newest processed bucket, current smoothed value)
+EWMA_STATE_SCHEMA = "last_us long, s double"
+
+
+def _ewma_group(alpha: float):
+    def fn(
+        key: Tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        if not len(batch):
+            return
+        batch = batch.sort_values("bucket_ts", kind="stable")
+        ts = (
+            batch["bucket_ts"].to_numpy(dtype="datetime64[us]")
+            .view(np.int64)
+        )
+        vals = batch["v"].to_numpy(dtype=np.float64)
+
+        if state.exists:
+            last_us, s_prev = state.get
+            # STRICT guard (unlike sessionize's >=): one grid bucket is one
+            # recurrence step, so a replayed/equal bucket must not apply
+            # the update twice
+            keep = ts > last_us
+            ts, vals = ts[keep], vals[keep]
+            if not len(ts):
+                return
+            # continue the recurrence by seeding the vectorized pandas
+            # kernel with the carried state as a synthetic row 0
+            seeded = pd.Series(np.concatenate(([s_prev], vals)))
+            s = (
+                seeded.ewm(alpha=alpha, adjust=False).mean()
+                .to_numpy()[1:]
+            )
+        else:
+            s = (
+                pd.Series(vals).ewm(alpha=alpha, adjust=False).mean()
+                .to_numpy()
+            )
+        state.update((int(ts[-1]), float(s[-1])))
+        yield pd.DataFrame(
+            {
+                "series_id": np.full(len(ts), key[0], dtype=object),
+                "bucket_ts": pd.to_datetime(ts, unit="us"),
+                "v": vals,
+                "ewma": s,
+            }
+        )
+
+    return fn
+
+
+def stream_ewma(
+    spark: SparkSession,
+    input_path: str,
+    output_path: str,
+    checkpoint_path: str,
+    schema,
+    alpha: float = 0.25,
+):
+    """File-source stream -> per-bucket EWMA parquet sink (append).
+
+    The smoothed value for every bucket is emitted exactly once; the
+    recurrence state (newest bucket, current s) survives micro-batches and
+    restarts via the checkpoint, so draining input incrementally in any
+    number of runs yields byte-identical output to the batch
+    :func:`~..operators.tsfeatures.ewma` over the union of the input —
+    the equivalence the driver's ``stream_ewma_drain`` invariant and
+    tests/test_stream_ewma.py pin. Late (already-processed) buckets are
+    dropped under the same append-only contract as sessionize; the batch
+    re-aggregation tier is the repair path.
+    """
+    stream = spark.readStream.schema(schema).parquet(input_path)
+    out = stream.groupBy("series_id").applyInPandasWithState(
+        _ewma_group(alpha),
+        outputStructType=EWMA_OUT_SCHEMA,
+        stateStructType=EWMA_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return (
+        out.writeStream.format("parquet")
+        .option("path", output_path)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
