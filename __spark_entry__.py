@@ -564,6 +564,41 @@ def _q_asof_join(spark, sf_dir):
     )
 
 
+def _q_interval_join(spark, sf_dir):
+    """Point-in-interval join (operators/interval.py): attach each click to
+    every 30-minute post-purchase window (same user) containing it, then
+    aggregate per click — window count and earliest containing window id
+    (-1 sentinel when none). Bucketized to a (user_id, 15-min bucket)
+    equi-join; the oracle is DuckDB's native range join over the identical
+    BETWEEN predicate."""
+    _prep(spark)
+    from wavelet_decomposition_spark.operators.interval import interval_join
+
+    ev = _events(spark, sf_dir)
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    windows = ev.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts").alias("start_ts"),
+        (F.col("ts") + F.expr("interval 30 minutes")).alias("end_ts"),
+        F.col("event_id").alias("window_id"),
+    )
+    joined = interval_join(
+        clicks,
+        windows,
+        on="user_id",
+        granularity="15 minutes",
+        how="left",
+    )
+    return joined.groupBy("event_id", "user_id").agg(
+        F.count("window_id").alias("n_windows"),
+        F.coalesce(F.min("window_id"), F.lit(-1).cast("bigint")).alias(
+            "first_window_id"
+        ),
+    )
+
+
 def _hourly_series(spark, sf_dir):
     """Shared base for the ts-analytics queries: per-(event_type, hour)
     mean value, ROUNDED to 6 dp so Spark and the DuckDB oracle feed
@@ -1979,6 +2014,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gapfill_locf": _q_gapfill_locf,
         "gapfill_interp": _q_gapfill_interp,
         "asof_join": _q_asof_join,
+        "interval_join": _q_interval_join,
         "pii_redact": _q_pii_redact,
         "strip_html": _q_strip_html,
         "repetition_ratio": _q_repetition_ratio,
@@ -2471,6 +2507,22 @@ def oracle_sql() -> dict[str, str]:
                        6), -1.0) AS purchase_age_s
             FROM c ASOF LEFT JOIN p
               ON c.user_id = p.user_id AND c.ts >= p.ts
+        """,
+        "interval_join": """
+            WITH c AS (SELECT event_id, user_id, ts FROM events
+                       WHERE event_type = 'click'),
+            w AS (SELECT user_id, ts AS start_ts,
+                         ts + INTERVAL 30 MINUTE AS end_ts,
+                         event_id AS window_id
+                  FROM events WHERE event_type = 'purchase')
+            SELECT c.event_id, c.user_id,
+                   count(w.window_id) AS n_windows,
+                   coalesce(min(w.window_id), CAST(-1 AS BIGINT))
+                       AS first_window_id
+            FROM c LEFT JOIN w
+              ON c.user_id = w.user_id
+             AND c.ts BETWEEN w.start_ts AND w.end_ts
+            GROUP BY 1, 2
         """,
         "pii_redact": """
             WITH planted AS (

@@ -143,7 +143,11 @@ def main():
     # tools/scaling_bench.py already uses; every raw wall (cold + all warm
     # repeats) is published alongside in "queries_cold"/"queries_raw" so
     # nothing is hidden.
-    warm_repeats = int(os.environ.get("SPARK_GRAFT_WARM_REPEATS", "2"))
+    # 3 warm repeats: this shared-host VM shows 2-4x identical-code
+    # variance under neighbor load (a measured 69/29/20 s triple on the
+    # flagship); min-of-3 warm suppresses a single noisy repeat where
+    # min-of-2 cannot
+    warm_repeats = int(os.environ.get("SPARK_GRAFT_WARM_REPEATS", "3"))
     cold: dict[str, float] = {}
     raw: dict[str, list[float]] = {}
 

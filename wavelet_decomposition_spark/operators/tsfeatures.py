@@ -79,8 +79,9 @@ def ewma(
     """
     import pandas as pd  # noqa: F401  (documents the kernel dependency)
 
+    gtype = series.schema[group_col].dataType.simpleString()
     out_schema = (
-        f"{group_col} string, {ts_col} timestamp, "
+        f"{group_col} {gtype}, {ts_col} timestamp, "
         f"{value_col} double, ewma double"
     )
 
