@@ -599,6 +599,108 @@ def _q_interval_join(spark, sf_dir):
     )
 
 
+def _q_time_weighted_avg(spark, sf_dir):
+    """Time-weighted hourly mean of the LOCF step function over irregular
+    event samples (operators/temporal.py time_weighted_avg): a plain avg()
+    over-weights bursts of fast samples; this integrates value*dt, with
+    segments split across the buckets they span.
+
+    Cross-engine exactness by construction: values quantized to integer
+    cents (the data's native granularity), weights are integer
+    microseconds, and every per-bucket sum is bounded by max_cents *
+    bucket_us = 1.8e14 < 2^53 — so both engines sum exactly-representable
+    integers in any order and the final double divisions are
+    bit-identical. Samples deduped to one per (series, ts): LOCF over a
+    timestamp tie is order-ambiguous in any engine."""
+    _prep(spark)
+    from wavelet_decomposition_spark.operators.temporal import (
+        time_weighted_avg,
+    )
+
+    samples = (
+        _events(spark, sf_dir)
+        .groupBy(F.col("event_type").alias("series_id"), "ts")
+        .agg(
+            F.sum(F.round(F.col("value") * 100).cast("bigint"))
+            .cast("double")
+            .alias("v")
+        )
+    )
+    out = time_weighted_avg(samples, bucket="1 hour")
+    return out.select(
+        "series_id",
+        "bucket_ts",
+        (F.col("twa") / F.lit(100.0)).alias("twa"),
+        "covered_us",
+    )
+
+
+def _q_counter_rate(spark, sf_dir):
+    """PromQL-style increase/rate over a cumulative counter with restart
+    detection (operators/temporal.py counter_rate): the counter is the
+    exact integer running total of event cents modulo 1e6 — the modulus
+    manufactures genuine resets (~every 55 samples), so the
+    negative-delta branch (contribute v_t, not v_t - v_{t-1}) is
+    exercised on real data. All arithmetic is integer-exact in both
+    engines; only the final rate division is floating (one deterministic
+    op)."""
+    _prep(spark)
+    from pyspark.sql import Window
+
+    from wavelet_decomposition_spark.operators.temporal import counter_rate
+
+    w = (
+        Window.partitionBy("series_id")
+        .orderBy("ts")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    counter = (
+        _events(spark, sf_dir)
+        .groupBy(F.col("event_type").alias("series_id"), "ts")
+        .agg(
+            F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("_c")
+        )
+        .withColumn("v", (F.sum("_c").over(w) % 1_000_000).cast("double"))
+        .drop("_c")
+    )
+    out = counter_rate(counter, bucket="1 hour")
+    return out.select(
+        "series_id",
+        "bucket_ts",
+        F.col("increase").cast("bigint").alias("increase"),
+        "n_deltas",
+        "n_resets",
+        F.round("rate_per_s", 6).alias("rate_per_s"),
+    )
+
+
+def _q_interval_union(spark, sf_dir):
+    """Gaps-and-islands union of per-user 30-minute post-purchase windows
+    (operators/temporal.py interval_union): overlapping/abutting windows
+    merge into maximal spans — the uptime/coverage primitive. Pure
+    integer/timestamp output, no float risk. Oracle: the standard
+    running-max island construction in DuckDB SQL."""
+    _prep(spark)
+    from wavelet_decomposition_spark.operators.temporal import interval_union
+
+    windows = (
+        _events(spark, sf_dir)
+        .where(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("series_id"),
+            F.col("ts").alias("start_ts"),
+            (F.col("ts") + F.expr("interval 30 minutes")).alias("end_ts"),
+        )
+    )
+    out = interval_union(windows)
+    return out.select(
+        F.col("series_id").alias("user_id"),
+        "island_start",
+        "island_end",
+        "n_intervals",
+    )
+
+
 def _hourly_series(spark, sf_dir):
     """Shared base for the ts-analytics queries: per-(event_type, hour)
     mean value, ROUNDED to 6 dp so Spark and the DuckDB oracle feed
@@ -2015,6 +2117,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gapfill_interp": _q_gapfill_interp,
         "asof_join": _q_asof_join,
         "interval_join": _q_interval_join,
+        "time_weighted_avg": _q_time_weighted_avg,
+        "counter_rate": _q_counter_rate,
+        "interval_union": _q_interval_union,
         "pii_redact": _q_pii_redact,
         "strip_html": _q_strip_html,
         "repetition_ratio": _q_repetition_ratio,
@@ -2523,6 +2628,95 @@ def oracle_sql() -> dict[str, str]:
               ON c.user_id = w.user_id
              AND c.ts BETWEEN w.start_ts AND w.end_ts
             GROUP BY 1, 2
+        """,
+        "time_weighted_avg": """
+            WITH s AS (
+                SELECT event_type AS series_id, ts,
+                       CAST(sum(CAST(round(value * 100) AS BIGINT))
+                            AS DOUBLE) AS v
+                FROM events GROUP BY 1, 2),
+            seg AS (
+                SELECT series_id, epoch_us(ts) AS s,
+                       lead(epoch_us(ts)) OVER (
+                           PARTITION BY series_id ORDER BY epoch_us(ts)
+                       ) AS e,
+                       v
+                FROM s),
+            ex AS (
+                SELECT series_id, s, e, v,
+                       unnest(generate_series(
+                           s // 3600000000, (e - 1) // 3600000000)) AS b
+                FROM seg WHERE e IS NOT NULL AND e > s),
+            ov AS (
+                SELECT series_id, b,
+                       least(e, (b + 1) * 3600000000)
+                           - greatest(s, b * 3600000000) AS w,
+                       v * (least(e, (b + 1) * 3600000000)
+                           - greatest(s, b * 3600000000)) AS vw
+                FROM ex)
+            SELECT series_id,
+                   make_timestamp(b * 3600000000) AS bucket_ts,
+                   sum(vw) / sum(w) / 100.0 AS twa,
+                   CAST(sum(w) AS BIGINT) AS covered_us
+            FROM ov GROUP BY 1, 2
+        """,
+        "counter_rate": """
+            WITH s AS (
+                SELECT event_type AS series_id, ts,
+                       sum(CAST(round(value * 100) AS BIGINT)) AS c
+                FROM events GROUP BY 1, 2),
+            cum AS (
+                SELECT series_id, ts,
+                       CAST(sum(c) OVER (
+                           PARTITION BY series_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) % 1000000
+                           AS DOUBLE) AS v
+                FROM s),
+            d AS (
+                SELECT series_id, epoch_us(ts) AS tus, v,
+                       lag(v) OVER (PARTITION BY series_id ORDER BY ts)
+                           AS pv
+                FROM cum),
+            e AS (
+                SELECT series_id, tus,
+                       CASE WHEN v >= pv THEN v - pv ELSE v END AS inc,
+                       CASE WHEN v < pv THEN 1 ELSE 0 END AS reset
+                FROM d WHERE pv IS NOT NULL)
+            SELECT series_id,
+                   make_timestamp((tus // 3600000000) * 3600000000)
+                       AS bucket_ts,
+                   CAST(sum(inc) AS BIGINT) AS increase,
+                   count(*) AS n_deltas,
+                   CAST(sum(reset) AS BIGINT) AS n_resets,
+                   round(sum(inc) / 3600.0, 6) AS rate_per_s
+            FROM e GROUP BY 1, 2
+        """,
+        "interval_union": """
+            WITH w AS (
+                SELECT user_id, epoch_us(ts) AS s,
+                       epoch_us(ts) + 1800000000 AS e
+                FROM events WHERE event_type = 'purchase'),
+            f AS (
+                SELECT user_id, s, e,
+                       CASE WHEN max(e) OVER (
+                               PARTITION BY user_id ORDER BY s, e
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND 1 PRECEDING) IS NULL
+                            OR s > max(e) OVER (
+                               PARTITION BY user_id ORDER BY s, e
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND 1 PRECEDING)
+                       THEN 1 ELSE 0 END AS ni
+                FROM w),
+            g AS (
+                SELECT user_id, s, e,
+                       sum(ni) OVER (PARTITION BY user_id ORDER BY s, e
+                           ROWS UNBOUNDED PRECEDING) AS island
+                FROM f)
+            SELECT user_id, make_timestamp(min(s)) AS island_start,
+                   make_timestamp(max(e)) AS island_end,
+                   count(*) AS n_intervals
+            FROM g GROUP BY user_id, island
         """,
         "pii_redact": """
             WITH planted AS (

@@ -188,6 +188,12 @@ def main():
         # text cleaning: PII redaction + boilerplate strip + intra-doc
         # repetition scoring (pure JVM regexp/aggregate paths)
         "pii_redact", "repetition_ratio",
+        # temporal joins/aggregation over irregular samples: bucketized
+        # point-in-interval join, LOCF time-weighted bucket means,
+        # PromQL-style counter rate with reset detection, and
+        # gaps-and-islands interval union (all pure JVM, one exchange)
+        "interval_join", "time_weighted_avg", "counter_rate",
+        "interval_union",
         # the reference's complete E3 offline job (3 families x 23,360
         # LSQR fits, golden-parity invariant riding on every row) —
         # reference-equivalent cost: "hours single-core per year"

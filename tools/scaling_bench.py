@@ -28,9 +28,11 @@ Usage:
     python tools/scaling_bench.py                 # flagship run -> BENCH.md + JSON line
     python tools/scaling_bench.py --dedup         # LLM-dedup scaling -> appended to BENCH.md
     python tools/scaling_bench.py --relational    # pure-JVM sessionize scaling -> appended
+    python tools/scaling_bench.py --gemm          # Arrow+BLAS all-pairs cosine -> appended
     python tools/scaling_bench.py --one 8 <path>  # single measurement (internal)
     python tools/scaling_bench.py --one-dedup 8 <path>       # (internal)
     python tools/scaling_bench.py --one-relational 8 <path>  # (internal)
+    python tools/scaling_bench.py --one-gemm 8 <path>        # (internal)
 """
 
 from __future__ import annotations
@@ -385,6 +387,197 @@ def relational_main() -> None:
         )
 
 
+def materialize_embeddings(n_vecs: int, dim: int = 64) -> str:
+    """Deterministic synthetic embedding corpus for the GEMM scaling
+    point, stored once and reused: unit-normalized gaussian vectors with
+    10% planted near-duplicate pairs (so the threshold filter has real
+    work and a stable output count)."""
+    import tempfile
+
+    import numpy as np
+
+    path = f"{tempfile.gettempdir()}/wds_scale_emb_{n_vecs}"
+    if os.path.exists(path):
+        return path
+    from wavelet_decomposition_spark.plans.session import build_session
+
+    spark = build_session(app_name="wds-scale-emb-setup", cores=32)
+    spark.sparkContext.setLogLevel("ERROR")
+    rng = np.random.default_rng(17)
+    base = rng.normal(size=(n_vecs, dim))
+    n_dup = n_vecs // 10
+    # planted near-dups: ids [0, n_dup) get a slightly-perturbed twin at
+    # ids [n_vecs-n_dup, n_vecs)
+    base[n_vecs - n_dup:] = base[:n_dup] + rng.normal(
+        scale=0.05, size=(n_dup, dim)
+    )
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {
+            "vec_id": np.arange(n_vecs, dtype=np.int64),
+            "embedding": list(base.astype(np.float32)),
+        }
+    )
+    spark.createDataFrame(pdf).repartition(64).write.mode(
+        "overwrite"
+    ).parquet(path)
+    spark.stop()
+    return path
+
+
+def run_one_gemm(cores: int, emb_path: str) -> None:
+    """Measure the broadcast-GEMM exact all-pairs cosine at local[cores].
+    BLAS threading is pinned to 1 (OPENBLAS/OMP/MKL_NUM_THREADS) — an
+    unpinned BLAS would use every machine core inside each Python worker
+    and silently erase the parallelism difference being measured. The
+    throughput unit is pair-dot-products/sec (n^2 per full scan)."""
+    for var in ("OPENBLAS_NUM_THREADS", "OMP_NUM_THREADS",
+                "MKL_NUM_THREADS"):
+        os.environ[var] = "1"
+    from wavelet_decomposition_spark.operators.similarity import (
+        cosine_allpairs_exact,
+    )
+    from wavelet_decomposition_spark.plans.session import build_session
+
+    spark = build_session(app_name=f"wds-scale-gemm-{cores}", cores=cores)
+    spark.sparkContext.setLogLevel("ERROR")
+    emb = spark.read.parquet(emb_path)
+    n_vecs = emb.count()
+
+    def _job() -> int:
+        return cosine_allpairs_exact(emb, threshold=0.9).count()
+
+    walls, n_pairs = [], 0
+    for _ in range(4):  # cold + three warm, best warm is the measurement
+        t0 = time.time()
+        n_pairs = _job()
+        walls.append(time.time() - t0)
+    best = min(walls[1:])
+    print(json.dumps({
+        "cores": cores,
+        "wall_cold_sec": round(walls[0], 3),
+        "wall_sec": round(best, 3),
+        "walls_all_sec": [round(w, 3) for w in walls],
+        "n_vecs": n_vecs,
+        "n_pairs": int(n_pairs),
+        "pair_dots_per_sec": round(n_vecs * n_vecs / best, 1),
+    }))
+    spark.stop()
+
+
+def gemm_main() -> None:
+    """N->4N scaling point for the Arrow+numpy GEMM path (exact all-pairs
+    cosine): the one hot-path stage class with no prior scaling evidence
+    (flagship = pandas-UDF pyramid, dedup = JVM shuffle+hash, relational =
+    whole-stage codegen; this = Python workers doing BLAS over broadcast
+    state)."""
+    n_vecs = int(os.environ.get("SPARK_GRAFT_SCALE_VECS", "80000"))
+    emb_path = materialize_embeddings(n_vecs)
+    ceiling = gemm_ceiling(CORES_LO, CORES_HI)
+    results: dict[int, dict] = {}
+    for cores in (CORES_LO, CORES_HI):
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--one-gemm",
+             str(cores), emb_path],
+            capture_output=True, text=True, cwd=REPO, check=True,
+        )
+        line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
+        results[cores] = json.loads(line)
+    lo, hi = results[CORES_LO], results[CORES_HI]
+    speedup = lo["wall_sec"] / hi["wall_sec"]
+    efficiency = speedup / (CORES_HI / CORES_LO)
+    summary = {
+        "metric": f"GEMM all-pairs-cosine scaling efficiency "
+                  f"(local[{CORES_LO}] -> local[{CORES_HI}], same input, "
+                  "best warm repeat, BLAS pinned to 1 thread)",
+        "n_vecs": hi["n_vecs"],
+        "n_pairs": hi["n_pairs"],
+        f"throughput_local{CORES_LO}_pair_dots_per_sec":
+            lo["pair_dots_per_sec"],
+        f"throughput_local{CORES_HI}_pair_dots_per_sec":
+            hi["pair_dots_per_sec"],
+        f"wall_local{CORES_LO}_sec": lo["wall_sec"],
+        f"wall_local{CORES_HI}_sec": hi["wall_sec"],
+        f"walls_all_local{CORES_LO}_sec": lo["walls_all_sec"],
+        f"walls_all_local{CORES_HI}_sec": hi["walls_all_sec"],
+        "speedup": round(speedup, 3),
+        "scaling_efficiency": round(efficiency, 3),
+        "hardware_cpu_ceiling": round(ceiling, 3),
+        "efficiency_vs_hardware_ceiling": round(efficiency / ceiling, 3),
+        "target": 0.8,
+    }
+    print(json.dumps(summary))
+    with open(os.path.join(REPO, "BENCH.md"), "a") as f:
+        f.write(
+            "\n## GEMM scaling point (Arrow + numpy BLAS path)\n\n"
+            "Same N->4N protocol applied to the broadcast-GEMM exact "
+            "all-pairs cosine (`cosine_allpairs_exact`): each Arrow batch "
+            "does one BLAS matmul against the broadcast unit-row matrix, "
+            "so this measures the Python-worker/Arrow/BLAS stage class "
+            "that none of the other three scaling blocks exercise. BLAS "
+            "threading pinned to 1 so worker-level parallelism is the only "
+            f"variable ({hi['n_vecs']:,} vectors -> {hi['n_pairs']:,} "
+            "pairs at cosine >= 0.9, 10% planted near-dup twins).\n\n"
+            f"- local[{CORES_LO}]:  {lo['wall_sec']:.1f}s best-warm "
+            f"({lo['wall_cold_sec']:.1f}s cold) -> "
+            f"{lo['pair_dots_per_sec']:,.0f} pair-dots/sec\n"
+            f"- local[{CORES_HI}]: {hi['wall_sec']:.1f}s best-warm "
+            f"({hi['wall_cold_sec']:.1f}s cold) -> "
+            f"{hi['pair_dots_per_sec']:,.0f} pair-dots/sec\n"
+            f"- **scaling efficiency: {efficiency:.3f}** (target >= 0.8; "
+            f"same-workload-class ceiling — blocked single-thread BLAS "
+            f"under multiprocessing, NO Spark — measured at "
+            f"{ceiling:.3f} -> {efficiency / ceiling:.2f}x of ceiling)\n\n"
+            "Reproduce: `python tools/scaling_bench.py --gemm`.\n\n"
+            "```json\n" + json.dumps(summary, indent=2) + "\n```\n"
+        )
+
+
+def _gemm_chunk(args: tuple) -> int:
+    """One worker's share of the blocked-GEMM ceiling probe: the same
+    512x1024 cache-blocked score-block shape the operator uses, BLAS
+    pinned by the parent's env."""
+    seed, n_rows, n_tile, dim = args
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    A = rng.normal(size=(n_rows, dim))
+    B = rng.normal(size=(n_tile, dim))
+    hits = 0
+    for alo in range(0, n_rows, 512):
+        Ab = A[alo:alo + 512]
+        for tlo in range(0, n_tile, 1024):
+            S = Ab @ B[tlo:tlo + 1024].T
+            hits += int((S >= 2.5).sum())
+    return hits
+
+
+def gemm_ceiling(lo: int, hi: int, n: int = 80_000, dim: int = 64,
+                 repeats: int = 3) -> float:
+    """GEMM-class scaling this VM can deliver between the two core counts
+    (pure multiprocessing + pinned single-thread BLAS, no Spark): the
+    honest upper bound for the --gemm point. The generic integer-burn
+    `cpu_ceiling` overstates it — measured 0.865 integer vs ~0.74 for
+    blocked BLAS on this host (shared memory bandwidth + SMT sharing hit
+    vector units harder than scalar loops). Interleaved best-of-N because
+    identical runs vary up to 1.5x under neighbor load."""
+    for var in ("OPENBLAS_NUM_THREADS", "OMP_NUM_THREADS",
+                "MKL_NUM_THREADS"):
+        os.environ[var] = "1"
+    chunks = 32
+    args = [(i, n // chunks, n // 16, dim) for i in range(chunks)]
+    rates: dict[int, list] = {lo: [], hi: []}
+    for _ in range(repeats):
+        for procs in (lo, hi):
+            t0 = time.time()
+            with mp.Pool(procs) as p:
+                p.map(_gemm_chunk, args)
+            rates[procs].append(n * (n // 16) / (time.time() - t0))
+    return (max(rates[hi]) / max(rates[lo])) / (hi / lo)
+
+
 def _burn(n: int) -> int:
     s = 0
     for i in range(n):
@@ -419,6 +612,12 @@ def main() -> None:
         return
     if len(sys.argv) >= 2 and sys.argv[1] == "--relational":
         relational_main()
+        return
+    if len(sys.argv) >= 2 and sys.argv[1] == "--one-gemm":
+        run_one_gemm(int(sys.argv[2]), sys.argv[3])
+        return
+    if len(sys.argv) >= 2 and sys.argv[1] == "--gemm":
+        gemm_main()
         return
 
     import tempfile
