@@ -956,6 +956,47 @@ def _q_repetition_ratio(spark, sf_dir):
     )
 
 
+def _q_ts_brown_les(spark, sf_dir):
+    """Brown's linear exponential smoothing over the hourly series
+    (operators/tsfeatures.py brown_les): trend-aware forecasting one
+    notch up from EWMA, computed as two chained adjust=False EWMA passes
+    in pandas' C kernel. Dyadic alpha=0.25 so the recurrence constants
+    are exact; the oracle replays both recurrences as stacked recursive
+    CTEs with identical IEEE op order, making the 6-dp rounds
+    tie-free."""
+    _prep(spark)
+    from wavelet_decomposition_spark.operators.tsfeatures import brown_les
+
+    out = brown_les(_hourly_series(spark, sf_dir), alpha=0.25)
+    return out.select(
+        "series_id",
+        "bucket_ts",
+        "v",
+        F.round("level", 6).alias("level"),
+        F.round("trend", 6).alias("trend"),
+        F.round("forecast", 6).alias("forecast"),
+    )
+
+
+def _q_ts_xcorr(spark, sf_dir):
+    """Cross-correlation between the click and view hourly series at lags
+    -6..6 (operators/tsfeatures.py cross_corr): positional alignment by
+    row index within each series' time order, one equi-join on the
+    shifted index, partial-aggregated corr per lag — the two-series
+    extension of ts_acf."""
+    _prep(spark)
+    from wavelet_decomposition_spark.operators.tsfeatures import cross_corr
+
+    out = cross_corr(
+        _hourly_series(spark, sf_dir), id_a="click", id_b="view", max_lag=6
+    )
+    return out.select(
+        F.col("lag").cast("int").alias("lag"),
+        F.round("xcorr", 6).alias("xcorr"),
+        "n_pairs",
+    )
+
+
 def _q_sessionize(spark, sf_dir):
     """Gap-based sessionization of the event stream (30-minute gap): the
     relational window+agg form; its streaming applyInPandasWithState twin is
@@ -2130,6 +2171,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_anomaly": _q_ts_anomaly,
         "ts_cusum": _q_ts_cusum,
         "ts_seasonal": _q_ts_seasonal,
+        "ts_brown_les": _q_ts_brown_les,
+        "ts_xcorr": _q_ts_xcorr,
         "sessionize": _q_sessionize,
         "quality_score": _q_quality_score,
         "resample_linear": _q_resample_linear,
@@ -2838,6 +2881,57 @@ def oracle_sql() -> dict[str, str]:
                 FROM idx i JOIN rec r
                   ON i.series_id = r.series_id AND i.rn = r.rn + 1)
             SELECT series_id, bucket_ts, v, round(s, 6) AS ewma FROM rec
+        """,
+        "ts_brown_les": """
+            WITH RECURSIVE
+            hr AS (SELECT event_type AS series_id,
+                          date_trunc('hour', ts) AS bucket_ts,
+                          round(avg(value), 6) AS v
+                   FROM events GROUP BY 1, 2),
+            idx AS (SELECT series_id, bucket_ts, v,
+                           row_number() OVER (PARTITION BY series_id
+                                              ORDER BY bucket_ts) AS rn
+                    FROM hr),
+            rec AS (
+                -- ONE recursion carrying BOTH smoothing states: a second
+                -- recursive CTE stacked on the first re-runs the whole
+                -- inner recursion per outer step (quadratic; measured
+                -- minutes at 3,600 rows). s1_t is written out twice so
+                -- the s2 update uses the identical IEEE op sequence the
+                -- pandas kernel does (s2 = 0.75*s2_prev + 0.25*s1_t).
+                SELECT series_id, bucket_ts, v, rn, v AS s1, v AS s2
+                FROM idx WHERE rn = 1
+                UNION ALL
+                SELECT i.series_id, i.bucket_ts, i.v, i.rn,
+                       r.s1 * 0.75 + i.v * 0.25,
+                       r.s2 * 0.75 + (r.s1 * 0.75 + i.v * 0.25) * 0.25
+                FROM idx i JOIN rec r
+                  ON i.series_id = r.series_id AND i.rn = r.rn + 1)
+            SELECT series_id, bucket_ts, v,
+                   round(2.0 * s1 - s2, 6) AS level,
+                   round(0.3333333333333333 * (s1 - s2), 6) AS trend,
+                   round((2.0 * s1 - s2)
+                         + 0.3333333333333333 * (s1 - s2), 6) AS forecast
+            FROM rec
+        """,
+        "ts_xcorr": """
+            WITH hr AS (SELECT event_type AS series_id,
+                               date_trunc('hour', ts) AS bucket_ts,
+                               round(avg(value), 6) AS v
+                        FROM events GROUP BY 1, 2),
+            idx AS (SELECT series_id, v,
+                           row_number() OVER (PARTITION BY series_id
+                                              ORDER BY bucket_ts) - 1 AS i
+                    FROM hr),
+            a AS (SELECT v AS x, i FROM idx WHERE series_id = 'click'),
+            b AS (SELECT v AS y, i FROM idx WHERE series_id = 'view'),
+            lags AS (SELECT unnest(generate_series(-6, 6)) AS lag)
+            SELECT CAST(l.lag AS INT) AS lag,
+                   round(corr(a.x, b.y), 6) AS xcorr,
+                   count(*) AS n_pairs
+            FROM a CROSS JOIN lags l
+            JOIN b ON a.i = b.i + l.lag
+            GROUP BY 1
         """,
         "ts_acf": """
             WITH hr AS (SELECT event_type AS series_id,

@@ -184,7 +184,7 @@ def main():
         # sorts), M4 pixel downsampling, median/MAD anomalies, CUSUM
         # change-point, classical seasonal decomposition
         "ts_rolling", "ts_ewma", "ts_acf", "m4_downsample", "ts_anomaly",
-        "ts_cusum", "ts_seasonal",
+        "ts_cusum", "ts_seasonal", "ts_brown_les", "ts_xcorr",
         # text cleaning: PII redaction + boilerplate strip + intra-doc
         # repetition scoring (pure JVM regexp/aggregate paths)
         "pii_redact", "repetition_ratio",

@@ -217,3 +217,110 @@ def test_rolling_plan_single_exchange(spark, series_pdf):
     plan = rolling_stats(df, value_col="v", k=24)._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 1
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_brown_les_matches_recursion(series_df, series_pdf):
+    from wavelet_decomposition_spark.operators.tsfeatures import brown_les
+
+    alpha = 0.25
+    out = (
+        brown_les(series_df, value_col="v", alpha=alpha)
+        .toPandas()
+        .sort_values(["series_id", "bucket_ts"])
+        .reset_index(drop=True)
+    )
+    for g, gd in _per_group(series_pdf):
+        got = out[out.series_id == g].reset_index(drop=True)
+        x = gd["v"].to_numpy()
+        s1 = np.empty(len(x))
+        s2 = np.empty(len(x))
+        s1[0] = s2[0] = x[0]
+        for i in range(1, len(x)):
+            s1[i] = (1 - alpha) * s1[i - 1] + alpha * x[i]
+            s2[i] = (1 - alpha) * s2[i - 1] + alpha * s1[i]
+        level = 2.0 * s1 - s2
+        trend = alpha / (1 - alpha) * (s1 - s2)
+        np.testing.assert_allclose(got["level"], level, rtol=1e-12)
+        np.testing.assert_allclose(got["trend"], trend, rtol=1e-9)
+        np.testing.assert_allclose(
+            got["forecast"], level + trend, rtol=1e-12
+        )
+
+
+def test_brown_les_tracks_linear_trend(spark):
+    """On a noise-free line the one-step forecast must converge to the
+    next point (textbook property separating Brown from plain EWMA,
+    which lags a trend forever)."""
+    from wavelet_decomposition_spark.operators.tsfeatures import brown_les
+
+    n = 200
+    pdf = pd.DataFrame(
+        {
+            "series_id": "t",
+            "bucket_ts": pd.date_range("2024-01-01", periods=n, freq="h"),
+            "v": 5.0 + 2.0 * np.arange(n),
+        }
+    )
+    out = (
+        brown_les(spark.createDataFrame(pdf), alpha=0.3)
+        .toPandas()
+        .sort_values("bucket_ts")
+        .reset_index(drop=True)
+    )
+    # forecast at t predicts v_{t+1} = 5 + 2(t+1); late rows converged
+    err = np.abs(
+        out["forecast"].to_numpy()[:-1] - out["v"].to_numpy()[1:]
+    )
+    assert err[-20:].max() < 1e-6
+
+
+def test_cross_corr_matches_numpy(series_df, series_pdf):
+    from wavelet_decomposition_spark.operators.tsfeatures import cross_corr
+
+    out = cross_corr(
+        series_df, id_a="a", id_b="b", value_col="v", max_lag=5
+    ).toPandas().set_index("lag")
+    a = next(gd for g, gd in _per_group(series_pdf) if g == "a")["v"].to_numpy()
+    b = next(gd for g, gd in _per_group(series_pdf) if g == "b")["v"].to_numpy()
+    for lag in (-5, -1, 0, 2, 5):
+        # pairs (a_t, b_{t-lag}) over valid t in both index ranges
+        ai, bi = [], []
+        for t in range(len(a)):
+            j = t - lag
+            if 0 <= j < len(b):
+                ai.append(a[t])
+                bi.append(b[j])
+        exp = np.corrcoef(ai, bi)[0, 1]
+        assert out.loc[lag, "n_pairs"] == len(ai)
+        np.testing.assert_allclose(out.loc[lag, "xcorr"], exp, rtol=1e-9)
+
+
+def test_cross_corr_detects_planted_shift(spark):
+    """b = a shifted forward by 3 buckets (b lags a): the xcorr peak must
+    sit at lag = -3 (a_t best matches b_{t+3})."""
+    from wavelet_decomposition_spark.operators.tsfeatures import cross_corr
+
+    rng = np.random.default_rng(4)
+    n = 400
+    sig = rng.normal(size=n + 3)
+    frames = []
+    for sid, v in (("a", sig[3:]), ("b", sig[:-3])):
+        frames.append(
+            pd.DataFrame(
+                {
+                    "series_id": sid,
+                    "bucket_ts": pd.date_range(
+                        "2024-01-01", periods=n, freq="h"
+                    ),
+                    "v": v,
+                }
+            )
+        )
+    out = cross_corr(
+        spark.createDataFrame(pd.concat(frames)),
+        id_a="a",
+        id_b="b",
+        max_lag=5,
+    ).toPandas()
+    peak = out.loc[out.xcorr.idxmax(), "lag"]
+    assert peak == -3

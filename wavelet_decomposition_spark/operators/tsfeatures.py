@@ -143,6 +143,102 @@ def acf(
     )
 
 
+def brown_les(
+    series: DataFrame,
+    value_col: str = "v",
+    alpha: float = 0.25,
+    group_col: str = "series_id",
+    ts_col: str = "bucket_ts",
+) -> DataFrame:
+    """Brown's linear (double) exponential smoothing: the classic
+    trend-aware forecaster one notch up from EWMA. Two chained
+    adjust=False EWMA passes — ``s1 = ewm(x)``, ``s2 = ewm(s1)`` — give
+    ``level = 2*s1 - s2``, ``trend = alpha/(1-alpha) * (s1 - s2)``, and
+    the one-step forecast ``level + trend``.
+
+    Chosen over Holt's two-parameter form deliberately: Holt's coupled
+    recurrences force a per-row Python loop, while Brown's reduction runs
+    entirely in pandas' C ``ewm`` kernel — the same vectorization
+    discipline as :func:`ewma`, at the cost of tying the trend gain to
+    ``alpha``. Same scale shape as every operator here: one shuffle on
+    the group key, Arrow batches, no Python-level row loop. The driver's
+    DuckDB oracle replays both recurrences as recursive CTEs with
+    identical IEEE op order (use a dyadic ``alpha`` so the constants are
+    exact)."""
+    import pandas as pd  # noqa: F401  (documents the kernel dependency)
+
+    gtype = series.schema[group_col].dataType.simpleString()
+    out_schema = (
+        f"{group_col} {gtype}, {ts_col} timestamp, "
+        f"{value_col} double, level double, trend double, forecast double"
+    )
+    gain = alpha / (1.0 - alpha)
+
+    def fit(pdf):
+        pdf = pdf.sort_values(ts_col)
+        pdf = pdf[[group_col, ts_col, value_col]]
+        s1 = pdf[value_col].ewm(alpha=alpha, adjust=False).mean()
+        s2 = s1.ewm(alpha=alpha, adjust=False).mean()
+        pdf["level"] = 2.0 * s1 - s2
+        pdf["trend"] = gain * (s1 - s2)
+        pdf["forecast"] = pdf["level"] + pdf["trend"]
+        return pdf
+
+    return series.select(group_col, ts_col, value_col).groupBy(
+        group_col
+    ).applyInPandas(fit, schema=out_schema)
+
+
+def cross_corr(
+    series: DataFrame,
+    id_a,
+    id_b,
+    value_col: str = "v",
+    max_lag: int = 6,
+    group_col: str = "series_id",
+    ts_col: str = "bucket_ts",
+) -> DataFrame:
+    """Cross-correlation between two named series at lags ``-max_lag ..
+    max_lag``: ``xcorr(lag) = corr(a_t, b_{t-lag})`` over positionally
+    aligned pairs (positive lag = b leads a). Assumes both series sit on
+    the same bucket grid — compose with ``gapfill_*`` first; alignment is
+    by row position within each series' time order, exactly like
+    :func:`acf`.
+
+    Shape: one row_number window per side, a single equi-join on the
+    shifted index (the lag explode rides the smaller pair set), then a
+    partial-aggregated ``corr`` per lag. Two shuffles total (window +
+    join), both on bounded per-series data."""
+    w = Window.partitionBy(group_col).orderBy(ts_col)
+    base = series.where(
+        F.col(group_col).isin([id_a, id_b])
+    ).select(
+        group_col,
+        F.col(value_col).alias("_x"),
+        (F.row_number().over(w) - 1).alias("_idx"),
+    )
+    a = base.where(F.col(group_col) == id_a).select("_x", "_idx")
+    b = base.where(F.col(group_col) == id_b).select(
+        F.col("_x").alias("_y"), "_idx"
+    )
+    shifted = b.select(
+        "_y",
+        F.explode(
+            F.sequence(F.lit(-max_lag), F.lit(max_lag))
+        ).alias("lag"),
+        "_idx",
+    ).select("_y", "lag", (F.col("_idx") + F.col("lag")).alias("_idx"))
+    pairs = a.join(shifted, ["_idx"])
+    return (
+        pairs.groupBy("lag")
+        .agg(
+            F.corr("_x", "_y").alias("xcorr"),
+            F.count(F.lit(1)).alias("n_pairs"),
+        )
+        .orderBy("lag")
+    )
+
+
 def m4_downsample(
     series: DataFrame,
     value_col: str = "v",
