@@ -218,6 +218,99 @@ def _q_epn_thresholds(spark, sf_dir):
     )
 
 
+def _q_sketch_quantiles(spark, sf_dir):
+    """Sketch-based quantiles — the 100-TB path for percentiles (an exact
+    percentile needs a per-group sort shuffle; the GK sketch partial-
+    aggregates map-side and merges). Per event_type, p50/p95/p99 via
+    ``percentile_approx(accuracy=10k)`` alongside the exact order
+    statistics. Rows-only but SELF-VERIFYING the same way `epn_approx`
+    is: GK guarantees rank error <= n/accuracy, so each approx value must
+    lie within the exact order-statistics band around its target rank —
+    ``sketch_ok`` rides on every row and the local gate asserts it."""
+    _prep(spark)
+    from pyspark.sql import Window
+
+    acc = 10_000
+    qs = [0.5, 0.95, 0.99]
+    ev = _events(spark, sf_dir).select("event_type", "value")
+    approx = ev.groupBy("event_type").agg(
+        F.percentile_approx("value", qs, acc).alias("_ap"),
+        F.count(F.lit(1)).alias("n_size"),
+    )
+    approx = approx.select(
+        "event_type",
+        "n_size",
+        F.explode(
+            F.arrays_zip(
+                F.array(*[F.lit(q) for q in qs]).alias("q"),
+                F.col("_ap").alias("approx"),
+            )
+        ).alias("_z"),
+    ).select(
+        "event_type", "n_size", F.col("_z.q").alias("q"),
+        F.col("_z.approx").alias("approx"),
+    )
+    w = Window.partitionBy("event_type").orderBy("value")
+    ranked = ev.withColumn("rnk", F.row_number().over(w))
+    banded = approx.withColumn(
+        "_t", F.ceil(F.col("q") * F.col("n_size")).cast("int")
+    ).withColumn("_e", (F.col("n_size") / acc).cast("int") + 1)
+    lo_hi = (
+        ranked.join(
+            F.broadcast(banded), "event_type"
+        )
+        .filter(
+            (F.col("rnk") == F.greatest(F.col("_t") - F.col("_e"), F.lit(1)))
+            | (
+                F.col("rnk")
+                == F.least(F.col("_t") + F.col("_e"), F.col("n_size"))
+            )
+        )
+        .groupBy("event_type", "q")
+        .agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+    )
+    return (
+        banded.join(lo_hi, ["event_type", "q"])
+        .select(
+            "event_type",
+            F.round("q", 2).alias("q"),
+            F.round("approx", 6).alias("approx"),
+            F.round("lo", 6).alias("lo"),
+            F.round("hi", 6).alias("hi"),
+            (
+                (F.col("approx") >= F.col("lo"))
+                & (F.col("approx") <= F.col("hi"))
+            ).alias("sketch_ok"),
+        )
+    )
+
+
+def _q_sketch_distinct(spark, sf_dir):
+    """HyperLogLog++ distinct counts — the 100-TB path for cardinality
+    (exact distinct shuffles every key; HLL++ partial-aggregates a
+    fixed-size sketch map-side). Per event_type, approx distinct users at
+    rsd=2% alongside the exact count. Rows-only, SELF-VERIFYING:
+    ``sketch_ok`` asserts |approx-exact| <= 5*rsd*exact — a 5-sigma band,
+    and the sketch is deterministic for fixed input, so the check is
+    stable, not flaky."""
+    _prep(spark)
+    rsd = 0.02
+    ev = _events(spark, sf_dir)
+    out = ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd).alias("approx_users"),
+        F.countDistinct("user_id").alias("exact_users"),
+    )
+    return out.select(
+        "event_type",
+        "approx_users",
+        "exact_users",
+        (
+            F.abs(F.col("approx_users") - F.col("exact_users"))
+            <= 5 * rsd * F.col("exact_users")
+        ).alias("sketch_ok"),
+    )
+
+
 def _q_epn_approx(spark, sf_dir):
     """A6's 100-TB escape hatch, driver-exposed (round-3 verdict #8):
     ``epn(..., exact=False)`` computes the discharge threshold with
@@ -2179,6 +2272,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conversation_stats_skew": _q_conversation_stats_skew,
         # rows-only (no SQL oracle):
         "epn_approx": _q_epn_approx,
+        "sketch_quantiles": _q_sketch_quantiles,
+        "sketch_distinct": _q_sketch_distinct,
         "fft_spectrum": _q_fft_spectrum,
         "reconstruction_roundtrip": _q_reconstruction_roundtrip,
         "reconstruction_relational": _q_reconstruction_relational,
