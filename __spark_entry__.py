@@ -794,6 +794,39 @@ def _q_interval_union(spark, sf_dir):
     )
 
 
+def _q_cohort_retention(spark, sf_dir):
+    """Weekly retention triangle (operators/funnel.py cohort_retention):
+    users cohorted by the week of their first signup; active in period k
+    = any event in [cohort_start + k weeks, +1 week). Integer modulo
+    cohort arithmetic (no float floor), unrounded retention ratio — both
+    engines divide the same two integers once, bit-identically."""
+    _prep(spark)
+    from wavelet_decomposition_spark.operators.funnel import cohort_retention
+
+    out = cohort_retention(
+        _events(spark, sf_dir), cohort_event="signup", period="1 week"
+    )
+    return out.select(
+        "cohort_ts", "period_k", "n_active", "n_cohort", "retention"
+    )
+
+
+def _q_funnel_steps(spark, sf_dir):
+    """Ordered signup->click->purchase funnel with a 7-day whole-funnel
+    window (operators/funnel.py funnel): a user completes step k at their
+    earliest step-k event at/after their step-(k-1) completion and within
+    the window of their step-1 time. One Spark job: per-user furthest
+    stage, tiny histogram, cumulative >=k counts."""
+    _prep(spark)
+    from wavelet_decomposition_spark.operators.funnel import funnel
+
+    return funnel(
+        _events(spark, sf_dir),
+        steps=["signup", "click", "purchase"],
+        window="7 days",
+    )
+
+
 def _hourly_series(spark, sf_dir):
     """Shared base for the ts-analytics queries: per-(event_type, hour)
     mean value, ROUNDED to 6 dp so Spark and the DuckDB oracle feed
@@ -2254,6 +2287,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "time_weighted_avg": _q_time_weighted_avg,
         "counter_rate": _q_counter_rate,
         "interval_union": _q_interval_union,
+        "cohort_retention": _q_cohort_retention,
+        "funnel_steps": _q_funnel_steps,
         "pii_redact": _q_pii_redact,
         "strip_html": _q_strip_html,
         "repetition_ratio": _q_repetition_ratio,
@@ -2766,6 +2801,60 @@ def oracle_sql() -> dict[str, str]:
               ON c.user_id = w.user_id
              AND c.ts BETWEEN w.start_ts AND w.end_ts
             GROUP BY 1, 2
+        """,
+        "cohort_retention": """
+            WITH c AS (SELECT user_id, min(epoch_us(ts)) AS c0
+                       FROM events WHERE event_type = 'signup'
+                       GROUP BY 1),
+            co AS (SELECT user_id, c0 - c0 % 604800000000 AS cstart
+                   FROM c),
+            sizes AS (SELECT cstart, count(*) AS n_cohort
+                      FROM co GROUP BY 1),
+            act AS (SELECT e.user_id, co.cstart,
+                           (epoch_us(e.ts) - co.cstart)
+                               // 604800000000 AS period_k
+                    FROM events e JOIN co ON e.user_id = co.user_id
+                    WHERE epoch_us(e.ts) >= co.cstart),
+            a AS (SELECT cstart, period_k,
+                         count(DISTINCT user_id) AS n_active
+                  FROM act GROUP BY 1, 2)
+            SELECT make_timestamp(a.cstart) AS cohort_ts,
+                   CAST(a.period_k AS INT) AS period_k,
+                   a.n_active, s.n_cohort,
+                   a.n_active / CAST(s.n_cohort AS DOUBLE) AS retention
+            FROM a JOIN sizes s ON a.cstart = s.cstart
+        """,
+        "funnel_steps": """
+            WITH b AS (SELECT user_id, event_type AS ty, epoch_us(ts) AS t
+                       FROM events),
+            s1 AS (SELECT user_id, min(t) AS t1 FROM b
+                   WHERE ty = 'signup' GROUP BY 1),
+            s2 AS (SELECT b.user_id, min(b.t) AS t2,
+                          any_value(s1.t1) AS t1
+                   FROM b JOIN s1 USING (user_id)
+                   WHERE b.ty = 'click' AND b.t >= s1.t1
+                     AND b.t <= s1.t1 + 604800000000
+                   GROUP BY 1),
+            s3 AS (SELECT b.user_id, min(b.t) AS t3
+                   FROM b JOIN s2 USING (user_id)
+                   WHERE b.ty = 'purchase' AND b.t >= s2.t2
+                     AND b.t <= s2.t1 + 604800000000
+                   GROUP BY 1),
+            counts AS (
+                SELECT 1 AS step_idx, 'signup' AS step,
+                       count(*) AS n_users FROM s1
+                UNION ALL
+                SELECT 2, 'click', count(*) FROM s2
+                UNION ALL
+                SELECT 3, 'purchase', count(*) FROM s3)
+            SELECT step_idx, step, n_users,
+                   n_users / CAST(first_value(n_users)
+                       OVER (ORDER BY step_idx) AS DOUBLE)
+                       AS conversion_from_first,
+                   coalesce(n_users / CAST(lag(n_users)
+                       OVER (ORDER BY step_idx) AS DOUBLE), 1.0)
+                       AS conversion_from_prev
+            FROM counts
         """,
         "time_weighted_avg": """
             WITH s AS (

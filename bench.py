@@ -194,6 +194,9 @@ def main():
         # gaps-and-islands interval union (all pure JVM, one exchange)
         "interval_join", "time_weighted_avg", "counter_rate",
         "interval_union",
+        # event product-analytics: weekly retention triangle + ordered
+        # 3-step funnel with whole-funnel window (pure JVM)
+        "cohort_retention", "funnel_steps",
         # the reference's complete E3 offline job (3 families x 23,360
         # LSQR fits, golden-parity invariant riding on every row) —
         # reference-equivalent cost: "hours single-core per year"
