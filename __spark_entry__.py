@@ -703,8 +703,10 @@ def _q_time_weighted_avg(spark, sf_dir):
     microseconds, and every per-bucket sum is bounded by max_cents *
     bucket_us = 1.8e14 < 2^53 — so both engines sum exactly-representable
     integers in any order and the final double divisions are
-    bit-identical. Samples deduped to one per (series, ts): LOCF over a
-    timestamp tie is order-ambiguous in any engine."""
+    bit-identical. Samples deduped to one per (series, ts) via MAX (LOCF
+    over a timestamp tie is order-ambiguous in any engine) — max, not
+    sum, so the per-sample magnitude bound above survives arbitrarily
+    many colliding events."""
     _prep(spark)
     from wavelet_decomposition_spark.operators.temporal import (
         time_weighted_avg,
@@ -714,7 +716,7 @@ def _q_time_weighted_avg(spark, sf_dir):
         _events(spark, sf_dir)
         .groupBy(F.col("event_type").alias("series_id"), "ts")
         .agg(
-            F.sum(F.round(F.col("value") * 100).cast("bigint"))
+            F.max(F.round(F.col("value") * 100).cast("bigint"))
             .cast("double")
             .alias("v")
         )
@@ -1120,6 +1122,55 @@ def _q_ts_xcorr(spark, sf_dir):
         F.col("lag").cast("int").alias("lag"),
         F.round("xcorr", 6).alias("xcorr"),
         "n_pairs",
+    )
+
+
+def _q_lttb_downsample(spark, sf_dir):
+    """LTTB line-chart downsampling to 100 points per hourly series
+    (operators/tsfeatures.py lttb_downsample) — rows-only (the greedy is
+    not SQL-expressible) but SELF-VERIFYING in the single-lineage window
+    form: every output row is left-joined back to the input series and
+    per-series window aggregates assert (a) each point is a REAL input
+    point with its exact value, (b) the point count is exactly
+    min(100, n_series), (c) both endpoints are preserved. A kernel
+    returning invented, mis-valued, miscounted, or endpoint-dropping rows
+    fails the gate's invariant assertion. The greedy's per-step argmax
+    optimality is pinned in pytest (tests/test_tsfeatures.py)."""
+    _prep(spark)
+    from pyspark.sql import Window
+
+    from wavelet_decomposition_spark.operators.tsfeatures import (
+        lttb_downsample,
+    )
+
+    base = _hourly_series(spark, sf_dir)
+    out = lttb_downsample(base, n_out=100)
+    binfo = base.groupBy("series_id").agg(
+        F.count(F.lit(1)).alias("_n_in"),
+        F.min("bucket_ts").alias("_ts_min"),
+        F.max("bucket_ts").alias("_ts_max"),
+    )
+    joined = (
+        out.join(
+            base.withColumnRenamed("v", "_v_in"),
+            ["series_id", "bucket_ts"],
+            "left",
+        )
+        .join(F.broadcast(binfo), "series_id")
+    )
+    w = Window.partitionBy("series_id")
+    bad = F.when(
+        F.col("_v_in").isNull() | (F.col("_v_in") != F.col("v")), 1
+    ).otherwise(0)
+    inv = (
+        (F.sum(bad).over(w) == 0)
+        & (F.count(F.lit(1)).over(w) == F.least(F.lit(100), F.col("_n_in")))
+        & (F.min("bucket_ts").over(w) == F.col("_ts_min"))
+        & (F.max("bucket_ts").over(w) == F.col("_ts_max"))
+    )
+    return joined.select(
+        "series_id", "bucket_ts", F.round("v", 6).alias("v"),
+        inv.alias("invariant_ok"),
     )
 
 
@@ -2309,6 +2360,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "epn_approx": _q_epn_approx,
         "sketch_quantiles": _q_sketch_quantiles,
         "sketch_distinct": _q_sketch_distinct,
+        "lttb_downsample": _q_lttb_downsample,
         "fft_spectrum": _q_fft_spectrum,
         "reconstruction_roundtrip": _q_reconstruction_roundtrip,
         "reconstruction_relational": _q_reconstruction_relational,
@@ -2859,7 +2911,7 @@ def oracle_sql() -> dict[str, str]:
         "time_weighted_avg": """
             WITH s AS (
                 SELECT event_type AS series_id, ts,
-                       CAST(sum(CAST(round(value * 100) AS BIGINT))
+                       CAST(max(CAST(round(value * 100) AS BIGINT))
                             AS DOUBLE) AS v
                 FROM events GROUP BY 1, 2),
             seg AS (

@@ -244,6 +244,9 @@ def test_plan_single_exchange(spark):
     ):
         plan = op(df)._jdf.queryExecution().executedPlan().toString()
         assert "Python" not in plan and "NestedLoop" not in plan
+        # one shuffle for the group-key window sort + one for the final
+        # (group, bucket) aggregate — nothing else
+        assert plan.count("Exchange") <= 2, plan
     iv = spark.createDataFrame(
         pd.DataFrame(
             {

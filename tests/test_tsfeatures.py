@@ -324,3 +324,68 @@ def test_cross_corr_detects_planted_shift(spark):
     ).toPandas()
     peak = out.loc[out.xcorr.idxmax(), "lag"]
     assert peak == -3
+
+
+def test_lttb_greedy_optimality(series_df, series_pdf):
+    """Sequential re-verification of the LTTB greedy from the OUTPUT: for
+    each interior bucket, the selected point must (a) lie in its bucket
+    and (b) maximize the triangle area against the previously selected
+    point and the next bucket's centroid — checks every argmax step
+    without re-implementing the selection."""
+    from wavelet_decomposition_spark.operators.tsfeatures import (
+        lttb_downsample,
+    )
+
+    n_out = 40
+    out = (
+        lttb_downsample(series_df, n_out=n_out, value_col="v")
+        .toPandas()
+        .sort_values(["series_id", "bucket_ts"])
+    )
+    for g, gd in _per_group(series_pdf):
+        got = out[out.series_id == g].reset_index(drop=True)
+        n = len(gd)
+        assert len(got) == min(n_out, n)
+        t = gd["bucket_ts"].astype("int64").to_numpy().astype(float)
+        v = gd["v"].to_numpy()
+        sel = (
+            gd.reset_index()
+            .merge(got, on="bucket_ts")["index"]
+            .to_numpy()
+        )
+        assert sel[0] == 0 and sel[-1] == n - 1
+        edges = np.linspace(1, n - 1, n_out - 1).astype(np.int64)
+        a = 0
+        for k in range(n_out - 2):
+            lo, hi = edges[k], edges[k + 1]
+            nlo = edges[k + 1]
+            nhi = edges[k + 2] if k + 2 < len(edges) else n
+            cx, cy = t[nlo:nhi].mean(), v[nlo:nhi].mean()
+            area = np.abs(
+                (t[a] - cx) * (v[lo:hi] - v[a])
+                - (t[a] - t[lo:hi]) * (cy - v[a])
+            )
+            chosen = sel[k + 1]
+            assert lo <= chosen < hi
+            np.testing.assert_allclose(
+                area[chosen - lo], area.max(), rtol=1e-12
+            )
+            a = chosen
+
+
+def test_lttb_short_series_passthrough(spark):
+    from wavelet_decomposition_spark.operators.tsfeatures import (
+        lttb_downsample,
+    )
+
+    pdf = pd.DataFrame(
+        {
+            "series_id": "s",
+            "bucket_ts": pd.date_range("2024-01-01", periods=5, freq="h"),
+            "v": [1.0, 2.0, 3.0, 2.0, 1.0],
+        }
+    )
+    out = lttb_downsample(spark.createDataFrame(pdf), n_out=10).toPandas()
+    assert len(out) == 5  # n <= n_out passes through untouched
+    with pytest.raises(ValueError, match="n_out"):
+        lttb_downsample(spark.createDataFrame(pdf), n_out=2)

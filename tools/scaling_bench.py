@@ -396,8 +396,9 @@ def materialize_embeddings(n_vecs: int, dim: int = 64) -> str:
 
     import numpy as np
 
-    path = f"{tempfile.gettempdir()}/wds_scale_emb_{n_vecs}"
-    if os.path.exists(path):
+    path = f"{tempfile.gettempdir()}/wds_scale_emb_{n_vecs}x{dim}"
+    # _SUCCESS guards against reusing a partial corpus from a killed write
+    if os.path.exists(os.path.join(path, "_SUCCESS")):
         return path
     from wavelet_decomposition_spark.plans.session import build_session
 
@@ -473,6 +474,15 @@ def gemm_main() -> None:
     (flagship = pandas-UDF pyramid, dedup = JVM shuffle+hash, relational =
     whole-stage codegen; this = Python workers doing BLAS over broadcast
     state)."""
+    # Pin BLAS threading BEFORE the first numpy import in THIS process:
+    # OpenBLAS reads these once at load, and fork-based mp.Pool workers
+    # inherit the already-initialized library — setting them later (as
+    # gemm_ceiling once did) silently runs every ceiling-probe worker
+    # multithreaded, oversubscribing the box and deflating the ceiling
+    # (measured 0.32-0.44 unpinned vs 0.74 pinned on identical hardware).
+    for var in ("OPENBLAS_NUM_THREADS", "OMP_NUM_THREADS",
+                "MKL_NUM_THREADS"):
+        os.environ[var] = "1"
     n_vecs = int(os.environ.get("SPARK_GRAFT_SCALE_VECS", "80000"))
     emb_path = materialize_embeddings(n_vecs)
     ceiling = gemm_ceiling(CORES_LO, CORES_HI)

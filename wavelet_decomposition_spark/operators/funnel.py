@@ -25,9 +25,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-
-def _us(c):
-    return F.unix_micros(F.col(c).cast("timestamp"))
+from wavelet_decomposition_spark.operators._time import gran_us as _gran_us
+from wavelet_decomposition_spark.operators._time import us as _us
 
 
 def cohort_retention(
@@ -48,10 +47,7 @@ def cohort_retention(
 
     Output: ``cohort_ts, period_k, n_active, n_cohort, retention`` —
     one row per (cohort, observed period)."""
-    gus = F.unix_micros(
-        F.lit("1970-01-01 00:00:00").cast("timestamp")
-        + F.expr(f"interval {period}")
-    )
+    gus = _gran_us(period)
     src = events
     if cohort_event is not None:
         src = events.where(F.col(type_col) == cohort_event)
@@ -114,10 +110,7 @@ def funnel(
     from pyspark.sql import Window
 
     spark = events.sparkSession
-    wus = F.unix_micros(
-        F.lit("1970-01-01 00:00:00").cast("timestamp")
-        + F.expr(f"interval {window}")
-    )
+    wus = _gran_us(window)
     base = events.select(
         user_col, F.col(type_col).alias("_ty"), _us(ts_col).alias("_t")
     )

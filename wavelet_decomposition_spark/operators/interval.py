@@ -57,16 +57,10 @@ def interval_join(
         raise ValueError(
             f"point/interval column name collision: {sorted(overlap)}"
         )
-    # NTZ-tolerant epoch micros (driver parquet loads TIMESTAMP_NTZ; the
-    # cast is applied identically to points and both interval bounds, so
-    # bucket arithmetic is session-timezone-consistent)
-    def _us(c):
-        return F.unix_micros(F.col(c).cast("timestamp"))
+    from wavelet_decomposition_spark.operators._time import gran_us as _g
+    from wavelet_decomposition_spark.operators._time import us as _us
 
-    gran_us = F.unix_micros(
-        F.lit("1970-01-01 00:00:00").cast("timestamp")
-        + F.expr(f"interval {granularity}")
-    )
+    gran_us = _g(granularity)
     p_bucket = F.floor(_us(ts_col) / gran_us)
     s_us = _us(start_col)
     e_us = _us(end_col)

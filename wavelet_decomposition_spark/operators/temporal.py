@@ -34,17 +34,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-
-def _us(c):
-    """NTZ-tolerant epoch micros (driver parquet loads TIMESTAMP_NTZ)."""
-    return F.unix_micros(F.col(c).cast("timestamp"))
-
-
-def _gran_us(granularity: str):
-    return F.unix_micros(
-        F.lit("1970-01-01 00:00:00").cast("timestamp")
-        + F.expr(f"interval {granularity}")
-    )
+from wavelet_decomposition_spark.operators._time import gran_us as _gran_us
+from wavelet_decomposition_spark.operators._time import us as _us
 
 
 def time_weighted_avg(
