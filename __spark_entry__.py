@@ -1125,6 +1125,59 @@ def _q_ts_xcorr(spark, sf_dir):
     )
 
 
+def _q_clustered_layout(spark, sf_dir):
+    """Scan-optimized layout writer (operators/layout.py): events
+    range-clustered on user_id, sorted within partitions, file sizes
+    capped. Rows-only but SELF-VERIFYING from the written files' OWN
+    parquet metadata (pyarrow, no scan): per-file rows <= cap
+    (`cap_ok`), and a point predicate's candidate file set is a small
+    fraction of all files (`prune_ok` from the min/max envelopes — the
+    exact statistic a distributed planner prunes with; an arrival-order
+    write measures ~1.0 here, i.e. zero pruning)."""
+    _prep(spark)
+    import tempfile
+
+    from wavelet_decomposition_spark.operators.layout import (
+        layout_stats,
+        pruning_factor,
+        write_clustered,
+    )
+
+    path = f"{tempfile.gettempdir()}/wds_layout_events"
+    cap = 5_000
+    write_clustered(
+        _events(spark, sf_dir).select("user_id", "ts", "value"),
+        path,
+        cluster_cols=["user_id"],
+        target_rows_per_file=cap,
+    )
+    stats = layout_stats(path, "user_id")
+    files = sorted({s["file"] for s in stats})
+    # probes span the ACTUAL key domain read back from the files — fixed
+    # probe values would fall outside small-sf domains and prune vacuously
+    gmin = min(s["min"] for s in stats)
+    gmax = max(s["max"] for s in stats)
+    probes = [gmin + (gmax - gmin) * i // 4 for i in range(5)]
+    pf = pruning_factor(stats, probes)
+    rows = [
+        (
+            files.index(s["file"]),
+            s["row_group"],
+            s["rows"],
+            int(s["min"]),
+            int(s["max"]),
+            s["rows"] <= cap,
+            pf <= 2.0 / len(files) + 0.05,
+        )
+        for s in stats
+    ]
+    return spark.createDataFrame(
+        rows,
+        "file_idx int, row_group int, rows bigint, key_min bigint, "
+        "key_max bigint, cap_ok boolean, prune_ok boolean",
+    )
+
+
 def _q_lttb_downsample(spark, sf_dir):
     """LTTB line-chart downsampling to 100 points per hourly series
     (operators/tsfeatures.py lttb_downsample) — rows-only (the greedy is
@@ -2361,6 +2414,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_quantiles": _q_sketch_quantiles,
         "sketch_distinct": _q_sketch_distinct,
         "lttb_downsample": _q_lttb_downsample,
+        "clustered_layout": _q_clustered_layout,
         "fft_spectrum": _q_fft_spectrum,
         "reconstruction_roundtrip": _q_reconstruction_roundtrip,
         "reconstruction_relational": _q_reconstruction_relational,

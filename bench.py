@@ -198,6 +198,9 @@ def main():
         # event product-analytics: weekly retention triangle + ordered
         # 3-step funnel with whole-funnel window (pure JVM)
         "cohort_retention", "funnel_steps",
+        # write-side layout: range-clustered capped-file parquet with
+        # metadata-verified pruning invariants
+        "clustered_layout",
         # the reference's complete E3 offline job (3 families x 23,360
         # LSQR fits, golden-parity invariant riding on every row) —
         # reference-equivalent cost: "hours single-core per year"

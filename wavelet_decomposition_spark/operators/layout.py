@@ -1,0 +1,119 @@
+"""Scan-optimized parquet layout — the write-side half of the 100-TB
+story. Predicate pushdown only pays off when the FILES are organized so
+min/max statistics actually exclude data: a tier written in arrival order
+has every file spanning the whole key domain, and a filtered scan still
+opens all of them. This module writes tables so that
+
+1. **files are few and bounded** (the small-files problem: a 1-minute
+   streaming tier naively checkpointed produces millions of KB-sized
+   files whose open/footer cost dwarfs the scan), and
+2. **each file/row-group covers a narrow key range** (range partitioning
+   + in-file sort), so parquet min/max stats prune both files and row
+   groups for range or point predicates on the layout keys.
+
+This is the same mechanism as Delta's OPTIMIZE ... ZORDER for the
+single-key case — true multi-dimensional Z-ordering interleaves bits of
+several keys; for one dominant filter key (the overwhelmingly common case
+for a time-keyed tier: series, then time) lexicographic
+range-sort-cluster IS the optimal curve, with none of the bit-twiddling.
+A multi-key layout lists the keys most-selective-first.
+
+Verifiability without a cluster: `layout_stats` reads back the written
+files' parquet row-group metadata (pyarrow, driver-side, metadata-only)
+and reports per-file/row-group key ranges — the tests assert that file
+key-ranges are disjoint-ish (bounded overlap factor) and that a point
+predicate's candidate file set is a small fraction of the total, which is
+exactly the property that becomes I/O pruning at scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def write_clustered(
+    df: DataFrame,
+    path: str,
+    cluster_cols: list[str],
+    target_rows_per_file: int = 1_000_000,
+    mode: str = "overwrite",
+) -> None:
+    """Write ``df`` as parquet clustered on ``cluster_cols``:
+    range-repartitioned so each output task owns a contiguous key range,
+    sorted within partitions so row groups inside a file are themselves
+    contiguous, and capped at ``target_rows_per_file`` so file size is
+    bounded regardless of skew (Spark rolls to a new file within the same
+    key range rather than producing one giant file for a hot key).
+
+    The row-count cap (not a byte cap) is deliberate: bytes-per-row is
+    stable within one table, the cap composes with AQE coalescing, and
+    ``maxRecordsPerFile`` is enforced by the writer without a second
+    pass. The range exchange samples the cluster keys (one extra job over
+    a sample, negligible vs the write) — skewed keys get MORE output
+    tasks, which is the behavior a hot tenant needs.
+    """
+    n = max(1, df.sparkSession.sparkContext.defaultParallelism)
+    (
+        df.repartitionByRange(n, *cluster_cols)
+        .sortWithinPartitions(*cluster_cols)
+        .write.mode(mode)
+        .option("maxRecordsPerFile", target_rows_per_file)
+        .parquet(path)
+    )
+
+
+def layout_stats(path: str, key: str):
+    """Read back per-row-group min/max statistics for ``key`` from every
+    parquet file under ``path`` (pyarrow, metadata-only — no data pages
+    touched). Returns a list of dicts:
+    ``{"file", "row_group", "rows", "min", "max"}``.
+
+    This is the ground truth a scan planner prunes with; tests turn it
+    into an overlap factor (how many files a point predicate must open)
+    to pin the clustering property the writer promises."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    out = []
+    for name in sorted(os.listdir(path)):
+        if not name.endswith(".parquet"):
+            continue
+        f = os.path.join(path, name)
+        meta = pq.ParquetFile(f).metadata
+        idx = {
+            meta.row_group(0).column(i).path_in_schema: i
+            for i in range(meta.num_columns)
+        }
+        ci = idx[key]
+        for rg in range(meta.num_row_groups):
+            col = meta.row_group(rg).column(ci)
+            st = col.statistics
+            out.append(
+                {
+                    "file": name,
+                    "row_group": rg,
+                    "rows": meta.row_group(rg).num_rows,
+                    "min": st.min if st is not None else None,
+                    "max": st.max if st is not None else None,
+                }
+            )
+    return out
+
+
+def pruning_factor(stats: list, probes: list) -> float:
+    """Fraction of files a point-equality scan on the layout key must
+    open, averaged over ``probes`` — 1.0 means no pruning (every file
+    covers every key), 1/n_files is perfect clustering. Uses file-level
+    [min, max] envelopes, the same coarse statistic a distributed scan
+    planner prunes with before row-group elimination."""
+    files: dict = {}
+    for s in stats:
+        lo, hi = files.get(s["file"], (s["min"], s["max"]))
+        files[s["file"]] = (min(lo, s["min"]), max(hi, s["max"]))
+    if not files or not probes:
+        return 1.0
+    total = 0
+    for p in probes:
+        total += sum(1 for lo, hi in files.values() if lo <= p <= hi)
+    return total / (len(probes) * len(files))
