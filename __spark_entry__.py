@@ -2309,6 +2309,91 @@ def _q_stream_ewma_drain(spark, sf_dir):
     )
 
 
+def _q_stream_counter_rate_drain(spark, sf_dir):
+    """Streaming counter-rate, driver-exposed: the integer-exact modulo
+    counter from `counter_rate` is split into two time halves and drained
+    through the stateful delta operator in TWO sequential availableNow
+    runs over one checkpoint (cross-restart state continuation), the
+    emitted per-sample deltas are re-aggregated per hour, and every
+    (series, bucket) row must match the batch operator over the union
+    input EXACTLY (integer arithmetic end to end) — n_mismatch == 0 and
+    full coverage is ``invariant_ok``."""
+    _prep(spark)
+    import shutil
+    import tempfile
+
+    from pyspark.sql import Window
+
+    from wavelet_decomposition_spark.operators.temporal import counter_rate
+    from wavelet_decomposition_spark.streaming.stateful import (
+        stream_counter_rate,
+    )
+
+    w = (
+        Window.partitionBy("series_id")
+        .orderBy("ts")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    counter = (
+        _events(spark, sf_dir)
+        .groupBy(F.col("event_type").alias("series_id"), "ts")
+        .agg(
+            F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("_c")
+        )
+        .withColumn("v", (F.sum("_c").over(w) % 1_000_000).cast("double"))
+        .select("series_id", F.col("ts").cast("timestamp").alias("ts"), "v")
+    )
+    mid = counter.agg(
+        F.expr("percentile(unix_micros(ts), 0.5)")
+    ).collect()[0][0]
+    base = f"{tempfile.gettempdir()}/wds_stream_rate_drain"
+    shutil.rmtree(base, ignore_errors=True)
+    in_p, out_p, ck = f"{base}/in", f"{base}/out", f"{base}/ck"
+    schema = "series_id string, ts timestamp, v double"
+    t = F.unix_micros(F.col("ts"))
+    counter.filter(t <= mid).write.mode("append").parquet(in_p)
+    stream_counter_rate(spark, in_p, out_p, ck, schema).awaitTermination(300)
+    counter.filter(t > mid).write.mode("append").parquet(in_p)
+    stream_counter_rate(spark, in_p, out_p, ck, schema).awaitTermination(300)
+
+    streamed = (
+        spark.read.parquet(out_p)
+        .groupBy(
+            "series_id",
+            F.timestamp_micros(
+                (F.unix_micros(F.col("ts")) / 3_600_000_000).cast("long")
+                * 3_600_000_000
+            ).alias("bucket_ts"),
+        )
+        .agg(
+            F.sum("inc").alias("increase_s"),
+            F.count(F.lit(1)).alias("n_deltas_s"),
+            F.sum("is_reset").cast("bigint").alias("n_resets_s"),
+        )
+    )
+    batch = counter_rate(counter, bucket="1 hour").select(
+        "series_id", "bucket_ts", "increase", "n_deltas", "n_resets"
+    )
+    j = streamed.join(batch, ["series_id", "bucket_ts"], "full_outer")
+    bad = (
+        F.col("increase_s").isNull()
+        | F.col("increase").isNull()
+        | (F.col("increase_s") != F.col("increase"))
+        | (F.col("n_deltas_s") != F.col("n_deltas"))
+        | (F.col("n_resets_s") != F.col("n_resets"))
+    )
+    return j.agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.sum(bad.cast("long")).alias("n_mismatch"),
+    ).select(
+        "n_buckets",
+        "n_mismatch",
+        ((F.col("n_mismatch") == 0) & (F.col("n_buckets") > 0)).alias(
+            "invariant_ok"
+        ),
+    )
+
+
 def _q_stream_rollup_drain(spark, sf_dir):
     """Streaming 1m-tier facade, driver-exposed: availableNow drain of a
     transcript snapshot through stream_rollup_1m, then an exact comparison
@@ -2439,6 +2524,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_sessionize_drain": _q_stream_sessionize_drain,
         "stream_rollup_drain": _q_stream_rollup_drain,
         "stream_ewma_drain": _q_stream_ewma_drain,
+        "stream_counter_rate_drain": _q_stream_counter_rate_drain,
     }
 
 

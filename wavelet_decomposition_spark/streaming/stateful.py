@@ -261,3 +261,96 @@ def stream_ewma(
         .trigger(availableNow=True)
         .start()
     )
+
+
+RATE_OUT_SCHEMA = (
+    "series_id string, ts timestamp, v double, inc double, is_reset int"
+)
+# carried recurrence state: (newest sample's epoch micros, its value)
+RATE_STATE_SCHEMA = "last_us long, last_v double"
+
+
+def _counter_rate_group():
+    def fn(
+        key: Tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        if not len(batch):
+            return
+        batch = batch.sort_values("ts", kind="stable")
+        ts = batch["ts"].to_numpy(dtype="datetime64[us]").view(np.int64)
+        vals = batch["v"].to_numpy(dtype=np.float64)
+        if state.exists:
+            last_us, last_v = state.get
+            # STRICT guard, same contract as stream_ewma: one sample is
+            # one recurrence step — a replayed/equal timestamp must not
+            # produce a second delta
+            keep = ts > last_us
+            ts, vals = ts[keep], vals[keep]
+            if not len(ts):
+                return
+            prev = np.concatenate(([last_v], vals[:-1]))
+        else:
+            if len(ts) == 1:
+                # the very first sample only seeds the state
+                state.update((int(ts[0]), float(vals[0])))
+                return
+            prev = np.concatenate(([np.nan], vals[:-1]))
+        reset = vals < prev
+        inc = np.where(reset, vals, vals - prev)
+        state.update((int(ts[-1]), float(vals[-1])))
+        first_seed = np.isnan(prev[0])
+        sl = slice(1, None) if first_seed else slice(None)
+        if not len(ts[sl]):
+            return
+        yield pd.DataFrame(
+            {
+                "series_id": np.full(len(ts[sl]), key[0], dtype=object),
+                "ts": pd.to_datetime(ts[sl], unit="us"),
+                "v": vals[sl],
+                "inc": inc[sl],
+                "is_reset": reset[sl].astype(np.int32),
+            }
+        )
+
+    return fn
+
+
+def stream_counter_rate(
+    spark: SparkSession,
+    input_path: str,
+    output_path: str,
+    checkpoint_path: str,
+    schema,
+):
+    """File-source stream -> per-sample counter deltas (append), the
+    incremental form of the batch
+    :func:`~..operators.temporal.counter_rate` BEFORE its bucket
+    aggregate: each accepted sample beyond a group's first emits exactly
+    one row carrying its increase (``v - prev`` or, across a restart
+    detection, ``v``) and reset flag. The carried state is (newest
+    sample's timestamp, its value), so draining input incrementally in
+    any number of runs emits the identical delta set to a single batch
+    pass over the union — the equivalence ``stream_counter_rate_drain``
+    asserts after re-aggregating the emitted deltas per bucket. Late
+    samples (ts <= state's newest) are dropped under the same append-only
+    contract as the other stateful operators; the batch re-aggregation
+    tier is the repair path."""
+    stream = spark.readStream.schema(schema).parquet(input_path)
+    out = stream.groupBy("series_id").applyInPandasWithState(
+        _counter_rate_group(),
+        outputStructType=RATE_OUT_SCHEMA,
+        stateStructType=RATE_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return (
+        out.writeStream.format("parquet")
+        .option("path", output_path)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
