@@ -216,3 +216,39 @@ def test_ivf_topk_recall(spark):
     assert hit / total >= 0.6, f"recall {hit}/{total}"
     # a query's own vector lands in its top probe cell
     assert (approx[approx["rank"] == 1]["score"] > 0.999).all()
+
+
+def test_auto_banding_recall_guarantee_property():
+    """VERDICT r3 #8 hardening: for every threshold in (0,1) and n_perm in
+    {16, 64, 128}, the chosen banding must (a) tile the signature exactly,
+    (b) meet the S-curve recall target AT the threshold, and (c) be the
+    hardest-pruning (largest rows-per-band) divisor that does — any
+    harder banding must fall below target."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from wavelet_decomposition_spark.operators import dedup
+
+    @settings(max_examples=300, deadline=None)
+    @given(
+        t=st.floats(min_value=0.01, max_value=0.99),
+        n_perm=st.sampled_from([16, 64, 128]),
+    )
+    def check(t, n_perm):
+        b, r = dedup._auto_banding(t, n_perm)
+        assert b * r == n_perm
+        recall = 1.0 - (1.0 - t**r) ** b
+        if r > 1:
+            assert recall >= 0.95
+            # maximality: no harder (larger-r) divisor also meets target
+            for r2 in range(r + 1, n_perm + 1):
+                if n_perm % r2:
+                    continue
+                b2 = n_perm // r2
+                assert 1.0 - (1.0 - t**r2) ** b2 < 0.95
+        else:
+            # r == 1 is the fallback: every band is a single hash — recall
+            # is the best achievable for this n_perm even if below target
+            pass
+
+    check()
