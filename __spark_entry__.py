@@ -1084,6 +1084,39 @@ def _q_repetition_ratio(spark, sf_dir):
     )
 
 
+def _q_ts_rolling_median(spark, sf_dir):
+    """Trailing 24-bucket rolling MEDIAN over the hourly series
+    (operators/tsfeatures.py rolling_median) — the robust twin of
+    ts_rolling. Output deliberately UNROUNDED: both engines take the
+    mean of the same two middle order statistics on identical inputs, so
+    the doubles are bit-identical; a 6-dp round would land even-count
+    midpoints of 6-dp inputs exactly on half-boundaries where the two
+    engines' round() tie-breaking differs."""
+    _prep(spark)
+    from wavelet_decomposition_spark.operators.tsfeatures import (
+        rolling_median,
+    )
+
+    out = rolling_median(_hourly_series(spark, sf_dir), k=24)
+    return out.select(
+        "series_id", "bucket_ts", "v", "roll_median", "roll_n"
+    )
+
+
+def _q_ts_theil_sen(spark, sf_dir):
+    """Theil–Sen robust trend per hourly series (operators/tsfeatures.py
+    theil_sen): median of all pairwise slopes, value-units per hour.
+    Hour indices are exact (bucket micros are exact multiples of the
+    unit), every slope is one identical IEEE division in both engines,
+    and the median is the same two-middle-order-statistics formula —
+    unrounded output, bit-identical cross-engine."""
+    _prep(spark)
+    from wavelet_decomposition_spark.operators.tsfeatures import theil_sen
+
+    out = theil_sen(_hourly_series(spark, sf_dir), unit="1 hour")
+    return out.select("series_id", "slope_per_unit", "n_pairs")
+
+
 def _q_ts_brown_les(spark, sf_dir):
     """Brown's linear exponential smoothing over the hourly series
     (operators/tsfeatures.py brown_les): trend-aware forecasting one
@@ -2490,6 +2523,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_seasonal": _q_ts_seasonal,
         "ts_brown_les": _q_ts_brown_les,
         "ts_xcorr": _q_ts_xcorr,
+        "ts_rolling_median": _q_ts_rolling_median,
+        "ts_theil_sen": _q_ts_theil_sen,
         "sessionize": _q_sessionize,
         "quality_score": _q_quality_score,
         "resample_linear": _q_resample_linear,
@@ -3257,6 +3292,39 @@ def oracle_sql() -> dict[str, str]:
                 FROM idx i JOIN rec r
                   ON i.series_id = r.series_id AND i.rn = r.rn + 1)
             SELECT series_id, bucket_ts, v, round(s, 6) AS ewma FROM rec
+        """,
+        "ts_rolling_median": """
+            WITH hr AS (SELECT event_type AS series_id,
+                               date_trunc('hour', ts) AS bucket_ts,
+                               round(avg(value), 6) AS v
+                        FROM events GROUP BY 1, 2)
+            SELECT series_id, bucket_ts, v,
+                   quantile_cont(v, 0.5) OVER (
+                       PARTITION BY series_id ORDER BY bucket_ts
+                       ROWS BETWEEN 23 PRECEDING AND CURRENT ROW
+                   ) AS roll_median,
+                   count(*) OVER (
+                       PARTITION BY series_id ORDER BY bucket_ts
+                       ROWS BETWEEN 23 PRECEDING AND CURRENT ROW
+                   ) AS roll_n
+            FROM hr
+        """,
+        "ts_theil_sen": """
+            WITH hr AS (SELECT event_type AS series_id,
+                               date_trunc('hour', ts) AS bucket_ts,
+                               round(avg(value), 6) AS v
+                        FROM events GROUP BY 1, 2),
+            idx AS (SELECT series_id,
+                           epoch_us(bucket_ts) / 3600000000.0 AS t, v
+                    FROM hr),
+            pairs AS (SELECT a.series_id,
+                             (b.v - a.v) / (b.t - a.t) AS s
+                      FROM idx a JOIN idx b
+                        ON a.series_id = b.series_id AND a.t < b.t)
+            SELECT series_id,
+                   quantile_cont(s, 0.5) AS slope_per_unit,
+                   count(*) AS n_pairs
+            FROM pairs GROUP BY 1
         """,
         "ts_brown_les": """
             WITH RECURSIVE

@@ -389,3 +389,51 @@ def test_lttb_short_series_passthrough(spark):
     assert len(out) == 5  # n <= n_out passes through untouched
     with pytest.raises(ValueError, match="n_out"):
         lttb_downsample(spark.createDataFrame(pdf), n_out=2)
+
+
+def test_rolling_median_matches_pandas(series_df, series_pdf):
+    from wavelet_decomposition_spark.operators.tsfeatures import (
+        rolling_median,
+    )
+
+    out = (
+        rolling_median(series_df, value_col="v", k=24)
+        .toPandas()
+        .sort_values(["series_id", "bucket_ts"])
+        .reset_index(drop=True)
+    )
+    for g, gd in _per_group(series_pdf):
+        got = out[out.series_id == g].reset_index(drop=True)
+        exp = gd["v"].rolling(24, min_periods=1).median()
+        np.testing.assert_allclose(got["roll_median"], exp, rtol=1e-12)
+
+
+def test_theil_sen_matches_numpy_and_resists_outliers(spark):
+    from wavelet_decomposition_spark.operators.tsfeatures import theil_sen
+
+    rng = np.random.default_rng(5)
+    n = 120
+    ts = pd.date_range("2024-01-01", periods=n, freq="h")
+    v = 3.0 + 0.5 * np.arange(n) + rng.normal(0, 0.1, n)
+    v_out = v.copy()
+    v_out[rng.choice(n, 20, replace=False)] += 500.0  # 17% corrupted
+    pdf = pd.concat(
+        [
+            pd.DataFrame({"series_id": "clean", "bucket_ts": ts, "v": v}),
+            pd.DataFrame({"series_id": "dirty", "bucket_ts": ts, "v": v_out}),
+        ]
+    )
+    out = (
+        theil_sen(spark.createDataFrame(pdf), unit="1 hour")
+        .toPandas()
+        .set_index("series_id")
+    )
+    # numpy oracle: median of all pairwise slopes
+    i, j = np.triu_indices(n, k=1)
+    exp = np.median((v[j] - v[i]) / (j - i))
+    np.testing.assert_allclose(
+        out.loc["clean", "slope_per_unit"], exp, rtol=1e-12
+    )
+    assert out.loc["clean", "n_pairs"] == n * (n - 1) // 2
+    # robustness: 17% gross corruption moves the slope < 5%
+    assert abs(out.loc["dirty", "slope_per_unit"] - 0.5) < 0.025

@@ -239,6 +239,84 @@ def cross_corr(
     )
 
 
+def rolling_median(
+    series: DataFrame,
+    value_col: str = "v",
+    k: int = 24,
+    group_col: str = "series_id",
+    ts_col: str = "bucket_ts",
+) -> DataFrame:
+    """Trailing-window median — the robust twin of ``rolling_stats``'s
+    mean (one wild outlier moves a 24-bucket mean by outlier/24 but the
+    median not at all). Expressed as the ``percentile(0.5)`` aggregate
+    over a rows-frame window: exact (sort-based, not a sketch), stays in
+    the JVM, and — key for the oracle — both Spark and DuckDB define the
+    even-count median as the mean of the two middle order statistics, so
+    the result is bit-identical cross-engine on identical inputs.
+
+    Cost note for 100 TB: an exact sliding median re-sorts the frame per
+    row (O(n*k log k) per group vs O(n*k) for the running-sum stats);
+    bounded k and bounded per-group series keep it a within-task cost,
+    and the GK-sketch path (`percentile_approx`) is the escape hatch when
+    k explodes."""
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(ts_col)
+        .rowsBetween(-(k - 1), 0)
+    )
+    return series.select(
+        group_col,
+        ts_col,
+        value_col,
+        F.expr(f"percentile({value_col}, 0.5)").over(w).alias("roll_median"),
+        F.count(F.lit(1)).over(w).alias("roll_n"),
+    )
+
+
+def theil_sen(
+    series: DataFrame,
+    value_col: str = "v",
+    group_col: str = "series_id",
+    ts_col: str = "bucket_ts",
+    unit: str = "1 hour",
+) -> DataFrame:
+    """Theil–Sen robust trend: per group, the median of all pairwise
+    slopes ``(v_j - v_i) / (t_j - t_i)`` — up to ~29% corrupted points
+    move it boundedly where least-squares follows every outlier. Slope
+    unit = value per ``unit``.
+
+    Plan: index rows once per group, one self equi-join on the group key
+    (i < j predicate applied post-join), one ``percentile(0.5)``
+    aggregate. Deliberately quadratic PER GROUP — n buckets make n²/2
+    pair rows, so a year of hourly buckets is ~38M pairs per group:
+    bounded, map-side-partial-aggregated, and parallel across groups.
+    For per-group n beyond ~10^5, downsample first (``lttb_downsample``
+    or a rollup tier) — the estimator is robust to exactly that."""
+    from wavelet_decomposition_spark.operators._time import gran_us, us
+
+    base = series.select(
+        group_col,
+        (us(ts_col) / gran_us(unit)).alias("_t"),
+        F.col(value_col).alias("_v"),
+    )
+    a = base.select(
+        group_col, F.col("_t").alias("_ta"), F.col("_v").alias("_va")
+    )
+    b = base.select(
+        group_col, F.col("_t").alias("_tb"), F.col("_v").alias("_vb")
+    )
+    pairs = a.join(b, group_col).where(F.col("_ta") < F.col("_tb"))
+    slope = (F.col("_vb") - F.col("_va")) / (F.col("_tb") - F.col("_ta"))
+    return (
+        pairs.select(group_col, slope.alias("_s"))
+        .groupBy(group_col)
+        .agg(
+            F.expr("percentile(_s, 0.5)").alias("slope_per_unit"),
+            F.count(F.lit(1)).alias("n_pairs"),
+        )
+    )
+
+
 def lttb_downsample(
     series: DataFrame,
     n_out: int = 500,
