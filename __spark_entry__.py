@@ -1009,18 +1009,29 @@ def _q_ts_seasonal(spark, sf_dir):
         seasonal_decompose,
     )
 
-    out = seasonal_decompose(
-        _hourly_series(spark, sf_dir), value_col="v", period=24
+    # integer micro-unit inputs: the 2x24 MA divides frame sums by 48,
+    # whose decimal expansion lands ~1/48 of 6-dp-rounded inputs exactly
+    # on .5e-6 half-boundaries where Spark HALF_UP and DuckDB disagree —
+    # so the sums are made EXACT (ints < 2^53) and every output ships
+    # UNROUNDED: identical doubles in both engines, no rounding at all
+    vi = _hourly_series(spark, sf_dir).select(
+        "series_id",
+        "bucket_ts",
+        F.round(F.col("v") * 1_000_000).cast("bigint").cast("double")
+        .alias("v"),
     )
+    out = seasonal_decompose(vi, value_col="v", period=24)
+    m = F.lit(1_000_000.0)
     # edge buckets (incomplete centered window) have null trend/residual;
     # sentinel them — NaN ties in the gate's row sort scramble row order
     # between engines even when every value agrees
     return out.select(
-        "series_id", "bucket_ts", "v",
+        "series_id", "bucket_ts",
+        (F.col("v") / m).alias("v"),
         F.col("phase").cast("int").alias("phase"),
-        F.coalesce(F.round("trend", 6), F.lit(-999999.0)).alias("trend"),
-        F.round("seasonal", 6).alias("seasonal"),
-        F.coalesce(F.round("residual", 6), F.lit(-999999.0)).alias(
+        F.coalesce(F.col("trend") / m, F.lit(-999999.0)).alias("trend"),
+        (F.col("seasonal") / m).alias("seasonal"),
+        F.coalesce(F.col("residual") / m, F.lit(-999999.0)).alias(
             "residual"
         ),
     )
@@ -1115,6 +1126,44 @@ def _q_ts_theil_sen(spark, sf_dir):
 
     out = theil_sen(_hourly_series(spark, sf_dir), unit="1 hour")
     return out.select("series_id", "slope_per_unit", "n_pairs")
+
+
+def _q_ts_strengths(spark, sf_dir):
+    """Wang–Hyndman decomposition-based feature scalars per series:
+    trend strength = max(0, 1 - Var(R)/Var(v - seasonal)) and seasonal
+    strength = max(0, 1 - Var(R)/Var(v - trend)), computed over the
+    decomposition's interior (rows with a full centered-MA trend window).
+    The canonical "is this series trendy / seasonal" classifier features
+    (tsfeatures/feasts). Both engines aggregate the identical doubles;
+    variance is the one op where their summation algebra can differ at
+    ~1e-12 relative, far inside the 6-dp round."""
+    _prep(spark)
+    from wavelet_decomposition_spark.operators.tsfeatures import (
+        seasonal_decompose,
+    )
+
+    dec = seasonal_decompose(_hourly_series(spark, sf_dir), period=24)
+    v, t, s = F.col("v"), F.col("trend"), F.col("seasonal")
+    out = (
+        dec.where(t.isNotNull())
+        .groupBy("series_id")
+        .agg(
+            F.var_samp(v - t - s).alias("_vr"),
+            F.var_samp(v - s).alias("_vdeseas"),
+            F.var_samp(v - t).alias("_vdetrend"),
+            F.count(F.lit(1)).alias("n_interior"),
+        )
+    )
+    return out.select(
+        "series_id",
+        F.round(
+            F.greatest(F.lit(0.0), 1 - F.col("_vr") / F.col("_vdeseas")), 6
+        ).alias("trend_strength"),
+        F.round(
+            F.greatest(F.lit(0.0), 1 - F.col("_vr") / F.col("_vdetrend")), 6
+        ).alias("seasonal_strength"),
+        "n_interior",
+    )
 
 
 def _q_ts_brown_les(spark, sf_dir):
@@ -2525,6 +2574,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_xcorr": _q_ts_xcorr,
         "ts_rolling_median": _q_ts_rolling_median,
         "ts_theil_sen": _q_ts_theil_sen,
+        "ts_strengths": _q_ts_strengths,
         "sessionize": _q_sessionize,
         "quality_score": _q_quality_score,
         "resample_linear": _q_resample_linear,
@@ -3458,19 +3508,26 @@ def oracle_sql() -> dict[str, str]:
         "ts_seasonal": """
             WITH hr AS (SELECT event_type AS series_id,
                                date_trunc('hour', ts) AS bucket_ts,
-                               round(avg(value), 6) AS v
+                               CAST(CAST(round(round(avg(value), 6)
+                                    * 1000000) AS BIGINT) AS DOUBLE) AS v
                         FROM events GROUP BY 1, 2),
             base AS (SELECT series_id, bucket_ts, v,
                             CAST((row_number() OVER wobs - 1) % 24 AS INT)
                                 AS phase,
-                            CASE WHEN count(v) OVER wt = 25
-                                 THEN avg(v) OVER wt END AS trend
+                            CASE WHEN count(v) OVER wa = 24
+                                  AND count(v) OVER wb = 24
+                                 THEN (sum(v) OVER wa + sum(v) OVER wb)
+                                      / 48.0 END AS trend
                      FROM hr
                      WINDOW wobs AS (PARTITION BY series_id
                                      ORDER BY bucket_ts),
-                            wt AS (PARTITION BY series_id
+                            wa AS (PARTITION BY series_id
                                    ORDER BY bucket_ts
                                    ROWS BETWEEN 12 PRECEDING
+                                            AND 11 FOLLOWING),
+                            wb AS (PARTITION BY series_id
+                                   ORDER BY bucket_ts
+                                   ROWS BETWEEN 11 PRECEDING
                                             AND 12 FOLLOWING)),
             ph0 AS (SELECT series_id, phase, avg(v - trend) AS raw_s
                     FROM base GROUP BY 1, 2),
@@ -3478,12 +3535,58 @@ def oracle_sql() -> dict[str, str]:
                           raw_s - avg(raw_s) OVER (PARTITION BY series_id)
                               AS seasonal
                    FROM ph0)
-            SELECT b.series_id, b.bucket_ts, b.v, b.phase,
-                   coalesce(round(b.trend, 6), -999999.0) AS trend,
-                   round(p.seasonal, 6) AS seasonal,
-                   coalesce(round(b.v - b.trend - p.seasonal, 6),
+            SELECT b.series_id, b.bucket_ts, b.v / 1000000.0 AS v, b.phase,
+                   coalesce(b.trend / 1000000.0, -999999.0) AS trend,
+                   p.seasonal / 1000000.0 AS seasonal,
+                   coalesce((b.v - b.trend - p.seasonal) / 1000000.0,
                             -999999.0) AS residual
             FROM base b JOIN ph p USING (series_id, phase)
+        """,
+        "ts_strengths": """
+            WITH hr AS (SELECT event_type AS series_id,
+                               date_trunc('hour', ts) AS bucket_ts,
+                               round(avg(value), 6) AS v
+                        FROM events GROUP BY 1, 2),
+            base AS (SELECT series_id, bucket_ts, v,
+                            CAST((row_number() OVER wobs - 1) % 24 AS INT)
+                                AS phase,
+                            CASE WHEN count(v) OVER wa = 24
+                                  AND count(v) OVER wb = 24
+                                 THEN (sum(v) OVER wa + sum(v) OVER wb)
+                                      / 48.0 END AS trend
+                     FROM hr
+                     WINDOW wobs AS (PARTITION BY series_id
+                                     ORDER BY bucket_ts),
+                            wa AS (PARTITION BY series_id
+                                   ORDER BY bucket_ts
+                                   ROWS BETWEEN 12 PRECEDING
+                                            AND 11 FOLLOWING),
+                            wb AS (PARTITION BY series_id
+                                   ORDER BY bucket_ts
+                                   ROWS BETWEEN 11 PRECEDING
+                                            AND 12 FOLLOWING)),
+            ph0 AS (SELECT series_id, phase, avg(v - trend) AS raw_s
+                    FROM base GROUP BY 1, 2),
+            ph AS (SELECT series_id, phase,
+                          raw_s - avg(raw_s) OVER (PARTITION BY series_id)
+                              AS seasonal
+                   FROM ph0),
+            j AS (SELECT b.series_id, b.v, b.trend, p.seasonal
+                  FROM base b JOIN ph p USING (series_id, phase)
+                  WHERE b.trend IS NOT NULL),
+            agg AS (SELECT series_id,
+                           var_samp(v - trend - seasonal) AS vr,
+                           var_samp(v - seasonal) AS vdeseas,
+                           var_samp(v - trend) AS vdetrend,
+                           count(*) AS n_interior
+                    FROM j GROUP BY 1)
+            SELECT series_id,
+                   round(greatest(0.0, 1 - vr / vdeseas), 6)
+                       AS trend_strength,
+                   round(greatest(0.0, 1 - vr / vdetrend), 6)
+                       AS seasonal_strength,
+                   n_interior
+            FROM agg
         """,
         "sessionize": """
             WITH ordered AS (

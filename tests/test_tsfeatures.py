@@ -437,3 +437,54 @@ def test_theil_sen_matches_numpy_and_resists_outliers(spark):
     assert out.loc["clean", "n_pairs"] == n * (n - 1) // 2
     # robustness: 17% gross corruption moves the slope < 5%
     assert abs(out.loc["dirty", "slope_per_unit"] - 0.5) < 0.025
+
+
+def test_strength_features_separate_trend_from_seasonality(spark):
+    """Wang-Hyndman strengths (the _q_ts_strengths formulas) on planted
+    series: a pure line scores trend~1/seasonal~0; a pure daily sine
+    scores seasonal~1/trend~0 — computed through the same
+    seasonal_decompose + variance-ratio pipeline the driver query uses."""
+    from pyspark.sql import functions as F
+
+    from wavelet_decomposition_spark.operators.tsfeatures import (
+        seasonal_decompose,
+    )
+
+    rng = np.random.default_rng(2)
+    n = 240
+    ts = pd.date_range("2024-01-01", periods=n, freq="h")
+    noise = rng.normal(0, 0.05, n)
+    frames = [
+        pd.DataFrame(
+            {"series_id": "line", "bucket_ts": ts,
+             "v": 1.0 * np.arange(n) + noise}
+        ),
+        pd.DataFrame(
+            {"series_id": "sine", "bucket_ts": ts,
+             "v": 10 * np.sin(2 * np.pi * np.arange(n) / 24) + noise}
+        ),
+    ]
+    dec = seasonal_decompose(
+        spark.createDataFrame(pd.concat(frames)), period=24
+    )
+    v, t, s = F.col("v"), F.col("trend"), F.col("seasonal")
+    out = (
+        dec.where(t.isNotNull())
+        .groupBy("series_id")
+        .agg(
+            F.var_samp(v - t - s).alias("vr"),
+            F.var_samp(v - s).alias("vdeseas"),
+            F.var_samp(v - t).alias("vdetrend"),
+        )
+        .selectExpr(
+            "series_id",
+            "greatest(0.0, 1 - vr / vdeseas) AS trend_strength",
+            "greatest(0.0, 1 - vr / vdetrend) AS seasonal_strength",
+        )
+        .toPandas()
+        .set_index("series_id")
+    )
+    assert out.loc["line", "trend_strength"] > 0.99
+    assert out.loc["line", "seasonal_strength"] < 0.2
+    assert out.loc["sine", "seasonal_strength"] > 0.99
+    assert out.loc["sine", "trend_strength"] < 0.2
