@@ -1166,6 +1166,67 @@ def _q_ts_strengths(spark, sf_dir):
     )
 
 
+def _q_ts_period(spark, sf_dir):
+    """Dominant-period detection over the ACF (lags 2..48): a plain
+    argmax is WRONG for periodic signals — a sine's ACF is a cosine with
+    equal peaks at every multiple of the period, so noise freely tips
+    lag 2p above p. The detector therefore takes the SMALLEST lag whose
+    autocorrelation reaches 95% of the series' max (the fundamental
+    beats its harmonics; pinned by a planted 17-bucket sine pytest where
+    acf(34) actually measured above acf(17)). 6-dp-rounded acf so both
+    engines compare identical values; negative-max series fall back to
+    the exact max (a 0.95 factor on a negative max would exclude
+    everything)."""
+    _prep(spark)
+    from pyspark.sql import Window
+
+    from wavelet_decomposition_spark.operators.tsfeatures import acf
+
+    a = acf(_hourly_series(spark, sf_dir), max_lag=48).where(
+        F.col("lag") >= 2
+    )
+    a = a.select(
+        "series_id",
+        F.col("lag").cast("int").alias("lag"),
+        F.round("acf", 6).alias("acf_r"),
+    )
+    ws = Window.partitionBy("series_id")
+    mx = F.max("acf_r").over(ws)
+    thr = F.when(mx > 0, mx * 0.95).otherwise(mx)
+    cand = a.withColumn("_thr", thr).where(F.col("acf_r") >= F.col("_thr"))
+    w = Window.partitionBy("series_id").orderBy(F.col("lag").asc())
+    return (
+        cand.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select(
+            "series_id",
+            F.col("lag").alias("period"),
+            F.col("acf_r").alias("acf_at_period"),
+        )
+    )
+
+
+def _q_value_histogram(spark, sf_dir):
+    """Fixed-grid value histogram per event type (25-unit bins over
+    [0, 500)): integer bucket arithmetic, exact counts, the standard
+    distribution profile a quality dashboard reads. One hash aggregate
+    with map-side partial combine."""
+    _prep(spark)
+    b = F.floor(F.col("value") / 25).cast("int")
+    return (
+        _events(spark, sf_dir)
+        .groupBy(
+            "event_type",
+            F.least(F.greatest(b, F.lit(0)), F.lit(19)).alias("bucket"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("value"), 6).alias("bin_min"),
+            F.round(F.max("value"), 6).alias("bin_max"),
+        )
+    )
+
+
 def _q_ts_brown_les(spark, sf_dir):
     """Brown's linear exponential smoothing over the hourly series
     (operators/tsfeatures.py brown_les): trend-aware forecasting one
@@ -2575,6 +2636,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_rolling_median": _q_ts_rolling_median,
         "ts_theil_sen": _q_ts_theil_sen,
         "ts_strengths": _q_ts_strengths,
+        "ts_period": _q_ts_period,
+        "value_histogram": _q_value_histogram,
         "sessionize": _q_sessionize,
         "quality_score": _q_quality_score,
         "resample_linear": _q_resample_linear,
@@ -3541,6 +3604,46 @@ def oracle_sql() -> dict[str, str]:
                    coalesce((b.v - b.trend - p.seasonal) / 1000000.0,
                             -999999.0) AS residual
             FROM base b JOIN ph p USING (series_id, phase)
+        """,
+        "ts_period": """
+            WITH hr AS (SELECT event_type AS series_id,
+                               date_trunc('hour', ts) AS bucket_ts,
+                               round(avg(value), 6) AS v
+                        FROM events GROUP BY 1, 2),
+            idx AS (SELECT series_id, v,
+                           row_number() OVER (PARTITION BY series_id
+                                              ORDER BY bucket_ts) - 1 AS i
+                    FROM hr),
+            lags AS (SELECT unnest(generate_series(2, 48)) AS lag),
+            ac AS (SELECT a.series_id, CAST(l.lag AS INT) AS lag,
+                          round(corr(a.v, b.v), 6) AS acf_r
+                   FROM idx a
+                   CROSS JOIN lags l
+                   JOIN idx b ON a.series_id = b.series_id
+                             AND b.i = a.i - l.lag
+                   GROUP BY 1, 2),
+            thr AS (SELECT series_id, lag, acf_r,
+                           CASE WHEN max(acf_r) OVER w > 0
+                                THEN max(acf_r) OVER w * 0.95
+                                ELSE max(acf_r) OVER w END AS t
+                    FROM ac
+                    WINDOW w AS (PARTITION BY series_id)),
+            rk AS (SELECT series_id, lag, acf_r,
+                          row_number() OVER (PARTITION BY series_id
+                              ORDER BY lag ASC) AS rn
+                   FROM thr WHERE acf_r >= t)
+            SELECT series_id, lag AS period, acf_r AS acf_at_period
+            FROM rk WHERE rn = 1
+        """,
+        "value_histogram": """
+            SELECT event_type,
+                   CAST(least(greatest(
+                       CAST(floor(value / 25) AS BIGINT), 0), 19)
+                       AS INT) AS bucket,
+                   count(*) AS n,
+                   round(min(value), 6) AS bin_min,
+                   round(max(value), 6) AS bin_max
+            FROM events GROUP BY 1, 2
         """,
         "ts_strengths": """
             WITH hr AS (SELECT event_type AS series_id,

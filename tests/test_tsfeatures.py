@@ -488,3 +488,42 @@ def test_strength_features_separate_trend_from_seasonality(spark):
     assert out.loc["line", "seasonal_strength"] < 0.2
     assert out.loc["sine", "seasonal_strength"] > 0.99
     assert out.loc["sine", "trend_strength"] < 0.2
+
+
+def test_period_detector_prefers_fundamental_over_harmonic(spark):
+    """The ts_period detection rule on a genuine 17-bucket cycle: a plain
+    ACF argmax FAILS here — a sine's ACF peaks equally at every multiple
+    of the period and measured acf(34)=0.9802 > acf(17)=0.9789 under this
+    seed's noise — so the rule (smallest lag reaching 95% of the max)
+    must return 17, not 34."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    rng = np.random.default_rng(8)
+    n = 500
+    pdf = pd.DataFrame(
+        {
+            "series_id": "p17",
+            "bucket_ts": pd.date_range("2024-01-01", periods=n, freq="h"),
+            "v": 5 * np.sin(2 * np.pi * np.arange(n) / 17)
+            + rng.normal(0, 0.5, n),
+        }
+    )
+    a = acf(spark.createDataFrame(pdf), max_lag=48).where(
+        F.col("lag") >= 2
+    ).select("series_id", "lag", F.round("acf", 6).alias("acf_r"))
+    ws = Window.partitionBy("series_id")
+    mx = F.max("acf_r").over(ws)
+    cand = a.withColumn("_t", F.when(mx > 0, mx * 0.95).otherwise(mx)).where(
+        F.col("acf_r") >= F.col("_t")
+    )
+    w = Window.partitionBy("series_id").orderBy(F.col("lag").asc())
+    top = (
+        cand.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .collect()[0]
+    )
+    assert top["lag"] == 17
+    # and the naive argmax really does pick the harmonic (the trap)
+    naive = a.orderBy(F.col("acf_r").desc(), F.col("lag").asc()).first()
+    assert naive["lag"] == 34
