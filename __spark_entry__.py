@@ -1227,6 +1227,66 @@ def _q_value_histogram(spark, sf_dir):
     )
 
 
+def _q_weekly_profile(spark, sf_dir):
+    """Weekly seasonal profile: per (event_type, day-of-week, hour-of-day)
+    cell — event count, exact-integer mean value (cents), and share of
+    the type's weekly total. The dashboard heatmap behind every 'when do
+    users do X' question; one hash aggregate plus a broadcast of 5 type
+    totals. Integer cents make the mean exact; the share is one division
+    of two exact integers, bit-identical cross-engine."""
+    _prep(spark)
+    ev = _events(spark, sf_dir).select(
+        "event_type",
+        F.dayofweek("ts").alias("dow"),
+        F.hour("ts").alias("hod"),
+        F.round(F.col("value") * 100).cast("bigint").alias("_cents"),
+    )
+    cells = ev.groupBy("event_type", "dow", "hod").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("_cents").alias("_sum_cents"),
+    )
+    totals = cells.groupBy("event_type").agg(
+        F.sum("n").alias("_total")
+    )
+    return cells.join(F.broadcast(totals), "event_type").select(
+        "event_type",
+        "dow",
+        "hod",
+        "n",
+        (F.col("_sum_cents").cast("double") / F.col("n") / 100.0).alias(
+            "mean_value"
+        ),
+        (F.col("n").cast("double") / F.col("_total")).alias("share"),
+    )
+
+
+def _q_top_users_per_hour(spark, sf_dir):
+    """Windowed top-k: the 3 most active users per hour (rank over a
+    per-hour count, deterministic user_id tie-break). The heavy-hitters
+    primitive every abuse/ops dashboard runs; one aggregate + one
+    window over the aggregated (small) per-hour user counts — the rank
+    never touches raw events."""
+    _prep(spark)
+    from pyspark.sql import Window
+
+    per = (
+        _events(spark, sf_dir)
+        .groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("bucket_ts"), "user_id"
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    w = Window.partitionBy("bucket_ts").orderBy(
+        F.col("n_events").desc(), F.col("user_id").asc()
+    )
+    return (
+        per.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+        .select("bucket_ts", F.col("rank").cast("int").alias("rank"),
+                "user_id", "n_events")
+    )
+
+
 def _q_ts_brown_les(spark, sf_dir):
     """Brown's linear exponential smoothing over the hourly series
     (operators/tsfeatures.py brown_les): trend-aware forecasting one
@@ -2638,6 +2698,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_strengths": _q_ts_strengths,
         "ts_period": _q_ts_period,
         "value_histogram": _q_value_histogram,
+        "weekly_profile": _q_weekly_profile,
+        "top_users_per_hour": _q_top_users_per_hour,
         "sessionize": _q_sessionize,
         "quality_score": _q_quality_score,
         "resample_linear": _q_resample_linear,
@@ -3604,6 +3666,37 @@ def oracle_sql() -> dict[str, str]:
                    coalesce((b.v - b.trend - p.seasonal) / 1000000.0,
                             -999999.0) AS residual
             FROM base b JOIN ph p USING (series_id, phase)
+        """,
+        "weekly_profile": """
+            WITH cells AS (
+                SELECT event_type,
+                       dayofweek(ts) + 1 AS dow,
+                       CAST(hour(ts) AS INT) AS hod,
+                       count(*) AS n,
+                       sum(CAST(round(value * 100) AS BIGINT))
+                           AS sum_cents
+                FROM events GROUP BY 1, 2, 3),
+            totals AS (SELECT event_type, sum(n) AS total
+                       FROM cells GROUP BY 1)
+            SELECT c.event_type, CAST(c.dow AS INT) AS dow, c.hod, c.n,
+                   CAST(c.sum_cents AS DOUBLE) / c.n / 100.0
+                       AS mean_value,
+                   CAST(c.n AS DOUBLE) / CAST(t.total AS BIGINT) AS share
+            FROM cells c JOIN totals t USING (event_type)
+        """,
+        "top_users_per_hour": """
+            WITH per AS (
+                SELECT date_trunc('hour', ts) AS bucket_ts, user_id,
+                       count(*) AS n_events
+                FROM events GROUP BY 1, 2),
+            rk AS (
+                SELECT bucket_ts, user_id, n_events,
+                       row_number() OVER (PARTITION BY bucket_ts
+                           ORDER BY n_events DESC, user_id ASC) AS rank
+                FROM per)
+            SELECT bucket_ts, CAST(rank AS INT) AS rank, user_id,
+                   n_events
+            FROM rk WHERE rank <= 3
         """,
         "ts_period": """
             WITH hr AS (SELECT event_type AS series_id,
