@@ -1227,6 +1227,43 @@ def _q_value_histogram(spark, sf_dir):
     )
 
 
+def _q_spectral_features(spark, sf_dir):
+    """Frequency-domain scalar features per hourly series
+    (operators/spectrum.py spectral_features): normalized spectral
+    entropy, dominant frequency + its power share. Rows-only (FFT is not
+    SQL-expressible) but SELF-VERIFYING: ``invariant_ok`` asserts the
+    Parseval identity |energy_time - energy_spec| <= 1e-6·energy_time,
+    entropy in [0,1], and peak_share in (0,1] — a kernel emitting
+    garbage spectra cannot satisfy time-vs-frequency energy equality."""
+    _prep(spark)
+    from wavelet_decomposition_spark.operators.spectrum import (
+        spectral_features,
+    )
+
+    out = spectral_features(
+        _hourly_series(spark, sf_dir), value_col="v",
+        group_cols=("series_id",), ts_col="bucket_ts",
+    )
+    rel = F.abs(F.col("energy_time") - F.col("energy_spec")) / F.greatest(
+        F.col("energy_time"), F.lit(1e-30)
+    )
+    inv = (
+        (rel <= 1e-6)
+        & (F.col("spectral_entropy") >= 0)
+        & (F.col("spectral_entropy") <= 1)
+        & (F.col("peak_share") > 0)
+        & (F.col("peak_share") <= 1)
+    )
+    return out.select(
+        "series_id",
+        "n",
+        F.round("spectral_entropy", 6).alias("spectral_entropy"),
+        "peak_freq_idx",
+        F.round("peak_share", 6).alias("peak_share"),
+        inv.alias("invariant_ok"),
+    )
+
+
 def _q_weekly_profile(spark, sf_dir):
     """Weekly seasonal profile: per (event_type, day-of-week, hour-of-day)
     cell — event count, exact-integer mean value (cents), and share of
@@ -2710,6 +2747,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_distinct": _q_sketch_distinct,
         "lttb_downsample": _q_lttb_downsample,
         "clustered_layout": _q_clustered_layout,
+        "spectral_features": _q_spectral_features,
         "fft_spectrum": _q_fft_spectrum,
         "reconstruction_roundtrip": _q_reconstruction_roundtrip,
         "reconstruction_relational": _q_reconstruction_relational,

@@ -194,3 +194,59 @@ def test_per_scale_reconstruction_sums_to_full(spark):
         F.abs(F.col("scales_sum") - F.col("full_value")) > 1e-9
     ).count()
     assert bad == 0
+
+
+def test_spectral_features_numpy_parity_and_extremes(spark):
+    """spectral_features vs a direct numpy periodogram-entropy oracle,
+    plus the two textbook extremes: a pure tone scores entropy ~0 with
+    its peak at the right bin; white noise scores entropy near 1."""
+    import numpy as np
+    import pandas as pd
+
+    from wavelet_decomposition_spark.operators.spectrum import (
+        spectral_features,
+    )
+
+    rng = np.random.default_rng(6)
+    n = 512
+    ts = pd.date_range("2024-01-01", periods=n, freq="h")
+    tone = np.sin(2 * np.pi * 16 * np.arange(n) / n)
+    noise = rng.normal(size=n)
+    mixed = tone + 0.3 * noise
+    pdf = pd.concat(
+        [
+            pd.DataFrame({"series_id": "tone", "bucket_ts": ts, "v": tone}),
+            pd.DataFrame({"series_id": "noise", "bucket_ts": ts, "v": noise}),
+            pd.DataFrame({"series_id": "mixed", "bucket_ts": ts, "v": mixed}),
+        ]
+    )
+    out = (
+        spectral_features(
+            spark.createDataFrame(pdf), value_col="v",
+            group_cols=("series_id",), ts_col="bucket_ts",
+        )
+        .toPandas()
+        .set_index("series_id")
+    )
+    # numpy oracle for the mixed series
+    y = mixed - mixed.mean()
+    spec = np.abs(np.fft.rfft(y)) ** 2
+    w = np.ones(spec.size)
+    w[1:] = 2.0
+    w[-1] = 1.0  # n even
+    p = (w * spec)[1:]
+    q = p / p.sum()
+    nz = q[q > 0]
+    exp_ent = -(nz * np.log(nz)).sum() / np.log(p.size)
+    np.testing.assert_allclose(
+        out.loc["mixed", "spectral_entropy"], round(exp_ent, 6), atol=1e-6
+    )
+    assert out.loc["mixed", "peak_freq_idx"] == 16
+    # extremes
+    assert out.loc["tone", "spectral_entropy"] < 0.05
+    assert out.loc["tone", "peak_freq_idx"] == 16
+    assert out.loc["tone", "peak_share"] > 0.999
+    assert out.loc["noise", "spectral_entropy"] > 0.85
+    # Parseval energies agree for all three
+    rel = (out.energy_time - out.energy_spec).abs() / out.energy_time
+    assert (rel < 1e-9).all()

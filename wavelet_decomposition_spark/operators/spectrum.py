@@ -47,6 +47,67 @@ def fft_spectrum(
     return df.groupBy(*group_cols).applyInPandas(_fft, schema=out_schema)
 
 
+def spectral_features(
+    df: DataFrame,
+    value_col: str = "v",
+    group_cols=("series_id",),
+    ts_col: str = "bucket_ts",
+) -> DataFrame:
+    """Per-group frequency-domain scalar features over the demeaned
+    series: normalized spectral entropy (0 = one pure tone, 1 = white
+    noise — the classic 'is this series forecastable' feature), the
+    dominant nonzero frequency index and its power share, and a Parseval
+    check pair (time-domain energy vs spectrum energy — carried so the
+    driver invariant can assert the transform itself, not just produce
+    numbers).
+
+    One shuffle on the group keys, one numpy rFFT per group (same Arrow
+    kernel discipline as :func:`fft_spectrum`); per-group length is
+    bounded by the retention tier."""
+    group_cols = list(group_cols)
+    out_schema = (
+        ", ".join(f"{c} string" for c in group_cols)
+        + ", n int, spectral_entropy double, peak_freq_idx int,"
+        + " peak_share double, energy_time double, energy_spec double"
+    )
+
+    def _feat(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(ts_col)
+        y = pdf[value_col].to_numpy(dtype=np.float64)
+        y = y - y.mean()
+        n = y.size
+        spec = np.abs(np.fft.rfft(y)) ** 2
+        # Parseval for rfft: sum|X_k|^2 with interior bins doubled == n*sum(y^2)
+        w = np.ones(spec.size)
+        w[1:] = 2.0
+        if n % 2 == 0 and spec.size > 1:
+            w[-1] = 1.0  # Nyquist bin is not mirrored for even n
+        energy_spec = float((w * spec).sum() / n)
+        energy_time = float((y**2).sum())
+        p = (w * spec)[1:]  # drop DC (zero after demean)
+        total = p.sum()
+        if total <= 0 or p.size < 2:
+            ent, peak, share = 1.0, 0, 0.0
+        else:
+            q = p / total
+            nz = q[q > 0]
+            ent = float(-(nz * np.log(nz)).sum() / np.log(p.size))
+            peak = int(np.argmax(p)) + 1
+            share = float(p.max() / total)
+        out = {c: pdf[c].iloc[0] for c in group_cols}
+        out.update(
+            n=np.int32(n),
+            spectral_entropy=ent,
+            peak_freq_idx=np.int32(peak),
+            peak_share=share,
+            energy_time=energy_time,
+            energy_spec=energy_spec,
+        )
+        return pd.DataFrame([out])
+
+    return df.groupBy(*group_cols).applyInPandas(_feat, schema=out_schema)
+
+
 def per_scale_reconstruction(betas: DataFrame, bc, n_scales: int = 15) -> DataFrame:
     """A9 — reconstruct each scale's signal separately:
     (series_id, year, scale_idx, idx, value). One group = 15 sparse matvecs
