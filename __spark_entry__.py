@@ -1227,6 +1227,36 @@ def _q_value_histogram(spark, sf_dir):
     )
 
 
+def _q_data_expectations(spark, sf_dir):
+    """Declarative ingest-gate expectations over events
+    (operators/expect.py check_expectations): six rules — nullability,
+    value bounds, timestamp range, enum membership, id positivity,
+    props-JSON well-formedness — evaluated in ONE scan (each rule is a
+    conditional sum inside a single global aggregate; an unevaluable
+    rule counts as a violation). Long-format output so the violation
+    table can be stored, trended, and alerted on like any tier."""
+    _prep(spark)
+    from wavelet_decomposition_spark.operators.expect import (
+        check_expectations,
+    )
+
+    ev = _events(spark, sf_dir)
+    rules = {
+        "value_nonnegative": F.col("value") >= 0,
+        "value_below_10k": F.col("value") < 10_000,
+        "ts_in_2024": (F.col("ts") >= F.lit("2024-01-01").cast("timestamp"))
+        & (F.col("ts") < F.lit("2025-01-01").cast("timestamp")),
+        "event_type_known": F.col("event_type").isin(
+            "click", "view", "purchase", "signup", "error"
+        ),
+        "user_id_positive": F.col("user_id") >= 0,
+        "props_is_json": F.get_json_object(
+            F.col("props"), "$"
+        ).isNotNull(),
+    }
+    return check_expectations(ev, rules)
+
+
 def _q_spectral_features(spark, sf_dir):
     """Frequency-domain scalar features per hourly series
     (operators/spectrum.py spectral_features): normalized spectral
@@ -2634,6 +2664,66 @@ def _q_stream_counter_rate_drain(spark, sf_dir):
     )
 
 
+def _q_stream_dedup_drain(spark, sf_dir):
+    """Streaming exact dedup, driver-exposed: the event stream is
+    planted with duplicates (a deterministic 1-in-3 sample re-appended,
+    some in the same drain, some only in a SECOND availableNow run over
+    the same checkpoint — so cross-restart dedup state is exercised),
+    deduped on event_id within a 90-day watermark, and compared against
+    batch DISTINCT over the union: ``invariant_ok`` = every distinct
+    event emitted exactly once, nothing twice, nothing missing."""
+    _prep(spark)
+    import shutil
+    import tempfile
+
+    from wavelet_decomposition_spark.streaming.facade import stream_dedup
+
+    ev = _events(spark, sf_dir).select("event_id", "ts", "user_id", "value")
+    dups = ev.where(F.col("event_id") % 3 == 0)
+    base = f"{tempfile.gettempdir()}/wds_stream_dedup_drain"
+    shutil.rmtree(base, ignore_errors=True)
+    in_p, out_p, ck = f"{base}/in", f"{base}/out", f"{base}/ck"
+    schema = "event_id bigint, ts timestamp, user_id bigint, value double"
+    # run 1: all originals + duplicates of even sample rows
+    ev.unionByName(dups.where(F.col("event_id") % 2 == 0)).write.mode(
+        "append"
+    ).parquet(in_p)
+    stream_dedup(
+        spark, in_p, out_p, ck, schema, keys=["event_id"]
+    ).awaitTermination(300)
+    # run 2 (same checkpoint): odd-sample duplicates — only state carried
+    # from run 1 can identify them as duplicates
+    dups.where(F.col("event_id") % 2 == 1).write.mode("append").parquet(
+        in_p
+    )
+    stream_dedup(
+        spark, in_p, out_p, ck, schema, keys=["event_id"]
+    ).awaitTermination(300)
+
+    emitted = spark.read.parquet(out_p)
+    per_key = emitted.groupBy("event_id").agg(
+        F.count(F.lit(1)).alias("_k")
+    )
+    return (
+        per_key.agg(
+            F.count(F.lit(1)).alias("n_distinct_emitted"),
+            F.max("_k").alias("max_emits_per_key"),
+        )
+        .crossJoin(
+            F.broadcast(ev.agg(F.countDistinct("event_id").alias("n_expected")))
+        )
+        .select(
+            "n_distinct_emitted",
+            "n_expected",
+            "max_emits_per_key",
+            (
+                (F.col("n_distinct_emitted") == F.col("n_expected"))
+                & (F.col("max_emits_per_key") == 1)
+            ).alias("invariant_ok"),
+        )
+    )
+
+
 def _q_stream_rollup_drain(spark, sf_dir):
     """Streaming 1m-tier facade, driver-exposed: availableNow drain of a
     transcript snapshot through stream_rollup_1m, then an exact comparison
@@ -2737,6 +2827,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_histogram": _q_value_histogram,
         "weekly_profile": _q_weekly_profile,
         "top_users_per_hour": _q_top_users_per_hour,
+        "data_expectations": _q_data_expectations,
         "sessionize": _q_sessionize,
         "quality_score": _q_quality_score,
         "resample_linear": _q_resample_linear,
@@ -2773,6 +2864,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_rollup_drain": _q_stream_rollup_drain,
         "stream_ewma_drain": _q_stream_ewma_drain,
         "stream_counter_rate_drain": _q_stream_counter_rate_drain,
+        "stream_dedup_drain": _q_stream_dedup_drain,
     }
 
 
@@ -3704,6 +3796,40 @@ def oracle_sql() -> dict[str, str]:
                    coalesce((b.v - b.trend - p.seasonal) / 1000000.0,
                             -999999.0) AS residual
             FROM base b JOIN ph p USING (series_id, phase)
+        """,
+        "data_expectations": """
+            WITH a AS (SELECT count(*) AS n,
+                sum(CASE WHEN (value >= 0) IS NOT TRUE
+                         THEN 1 ELSE 0 END) AS v_value_nonnegative,
+                sum(CASE WHEN (value < 10000) IS NOT TRUE
+                         THEN 1 ELSE 0 END) AS v_value_below_10k,
+                sum(CASE WHEN (ts >= TIMESTAMP '2024-01-01'
+                           AND ts < TIMESTAMP '2025-01-01') IS NOT TRUE
+                         THEN 1 ELSE 0 END) AS v_ts_in_2024,
+                sum(CASE WHEN (event_type IN ('click','view','purchase',
+                           'signup','error')) IS NOT TRUE
+                         THEN 1 ELSE 0 END) AS v_event_type_known,
+                sum(CASE WHEN (user_id >= 0) IS NOT TRUE
+                         THEN 1 ELSE 0 END) AS v_user_id_positive,
+                sum(CASE WHEN (props IS NOT NULL AND json_valid(props))
+                           IS NOT TRUE
+                         THEN 1 ELSE 0 END) AS v_props_is_json
+                FROM events),
+            s AS (
+                SELECT 'event_type_known' AS rule, n,
+                       v_event_type_known AS n_violations FROM a
+                UNION ALL SELECT 'props_is_json', n, v_props_is_json FROM a
+                UNION ALL SELECT 'ts_in_2024', n, v_ts_in_2024 FROM a
+                UNION ALL SELECT 'user_id_positive', n,
+                       v_user_id_positive FROM a
+                UNION ALL SELECT 'value_below_10k', n,
+                       v_value_below_10k FROM a
+                UNION ALL SELECT 'value_nonnegative', n,
+                       v_value_nonnegative FROM a)
+            SELECT rule, CAST(n AS BIGINT) AS n_rows,
+                   CAST(n_violations AS BIGINT) AS n_violations,
+                   CAST(n - n_violations AS DOUBLE) / n AS pass_rate
+            FROM s
         """,
         "weekly_profile": """
             WITH cells AS (

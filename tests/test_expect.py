@@ -1,0 +1,53 @@
+"""Expectation checker: planted violations are counted exactly, null
+rule results count as violations (conservative ingest gate), everything
+happens in one scan (single aggregate, no per-rule jobs)."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from wavelet_decomposition_spark.operators.expect import check_expectations
+
+
+def test_planted_violation_counts(spark):
+    pdf = pd.DataFrame(
+        {
+            "v": [1.0, -2.0, 3.0, None, 5.0],
+            "k": ["a", "b", "zz", "a", "b"],
+        }
+    )
+    out = (
+        check_expectations(
+            spark.createDataFrame(pdf),
+            {
+                "v_nonneg": F.col("v") >= 0,
+                "k_known": F.col("k").isin("a", "b"),
+            },
+        )
+        .toPandas()
+        .set_index("rule")
+    )
+    # v >= 0: -2 violates, None is unevaluable -> violation
+    assert out.loc["v_nonneg", "n_violations"] == 2
+    assert out.loc["v_nonneg", "n_rows"] == 5
+    assert out.loc["v_nonneg", "pass_rate"] == 0.6
+    assert out.loc["k_known", "n_violations"] == 1
+    # long format, sorted by rule name
+    assert list(out.index) == ["k_known", "v_nonneg"]
+
+
+def test_single_scan_plan(spark):
+    pdf = pd.DataFrame({"v": [1.0, 2.0]})
+    df = spark.createDataFrame(pdf)
+    out = check_expectations(
+        df, {f"r{i}": F.col("v") > i for i in range(20)}
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # 20 rules, ONE aggregate over one scan: no joins, no extra scans
+    assert plan.count("Scan") == 1
+    assert "Join" not in plan
+
+
+def test_empty_rules_rejected(spark):
+    with pytest.raises(ValueError, match="no rules"):
+        check_expectations(spark.range(1), {})

@@ -112,3 +112,39 @@ def test_replayed_equal_timestamp_not_double_applied(spark, tmp_path_factory):
     stream_counter_rate(spark, in_p, out_p, ck, SCHEMA).awaitTermination(120)
     out = spark.read.parquet(out_p).toPandas()
     assert len(out) == 1 and out.inc.iloc[0] == 15.0
+
+
+def test_stream_dedup_cross_restart(spark, tmp_path_factory):
+    """dropDuplicatesWithinWatermark facade: a duplicate arriving only in
+    a SECOND availableNow run over the same checkpoint must be dropped
+    (state carried across restarts); distinct keys all emitted once."""
+    from wavelet_decomposition_spark.streaming.facade import stream_dedup
+
+    base = str(tmp_path_factory.mktemp("stream_dedup"))
+    in_p, out_p, ck = f"{base}/in", f"{base}/out", f"{base}/ck"
+    schema = "event_id bigint, ts timestamp, v double"
+    pdf = pd.DataFrame(
+        {
+            "event_id": np.int64([1, 2, 3, 2]),  # in-batch dup of 2
+            "ts": pd.to_datetime([1_700_000_000] * 4, unit="s"),
+            "v": [1.0, 2.0, 3.0, 2.0],
+        }
+    )
+    spark.createDataFrame(pdf, schema).write.mode("append").parquet(in_p)
+    stream_dedup(
+        spark, in_p, out_p, ck, schema, keys=["event_id"]
+    ).awaitTermination(120)
+    # restart with dups of 1 and 3 plus a new key 4
+    pdf2 = pd.DataFrame(
+        {
+            "event_id": np.int64([1, 3, 4]),
+            "ts": pd.to_datetime([1_700_000_100] * 3, unit="s"),
+            "v": [1.0, 3.0, 4.0],
+        }
+    )
+    spark.createDataFrame(pdf2, schema).write.mode("append").parquet(in_p)
+    stream_dedup(
+        spark, in_p, out_p, ck, schema, keys=["event_id"]
+    ).awaitTermination(120)
+    out = spark.read.parquet(out_p).toPandas()
+    assert sorted(out.event_id) == [1, 2, 3, 4]

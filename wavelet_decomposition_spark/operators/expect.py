@@ -1,0 +1,57 @@
+"""Declarative data-expectation checks — the ingest gate a 100-TB
+pipeline runs before any tier is built (the Great-Expectations core,
+engine-native): each rule is a boolean Column over a row; the checker
+scans the table ONCE and returns one row per rule with violation counts
+and pass rates.
+
+Shape: every rule compiles into a conditional-sum expression inside a
+single global aggregate — one scan, no per-rule jobs, no shuffle beyond
+the final 1-row partial-merge. Rules therefore cost what one extra
+projected column costs, so running 50 of them on ingest is cheap; the
+alternative one-query-per-rule pattern scans the table R times.
+
+The output is deliberately long-format (rule per row) so the violation
+table itself can be stored as a tier, trended over time, and alerted on
+with the engine's own anomaly operators.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def check_expectations(
+    df: DataFrame, rules: dict[str, Column]
+) -> DataFrame:
+    """Evaluate ``rules`` (name -> boolean Column, true = row passes) in
+    ONE scan. Null rule results count as violations (an expectation that
+    cannot be evaluated did not pass — the conservative ingest-gate
+    convention). Returns ``(rule, n_rows, n_violations, pass_rate)``
+    sorted by rule name."""
+    if not rules:
+        raise ValueError("no rules given")
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for name, cond in rules.items():
+        aggs.append(
+            F.sum(
+                F.when(cond.isNull() | ~cond, 1).otherwise(0)
+            ).alias(f"_v_{name}")
+        )
+    row = df.agg(*aggs)
+    names = sorted(rules)
+    stacked = row.selectExpr(
+        "stack({}, {}) as (rule, n_rows, n_violations)".format(
+            len(names),
+            ", ".join(f"'{n}', _n, _v_{n}" for n in names),
+        )
+    )
+    return stacked.select(
+        "rule",
+        "n_rows",
+        "n_violations",
+        (
+            (F.col("n_rows") - F.col("n_violations")).cast("double")
+            / F.col("n_rows")
+        ).alias("pass_rate"),
+    )

@@ -58,3 +58,43 @@ def stream_rollup_1m(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_dedup(
+    spark: SparkSession,
+    input_path: str,
+    output_path: str,
+    checkpoint_path: str,
+    schema: str,
+    keys: list,
+    ts_col: str = "ts",
+    delay: str = "90 days",
+):
+    """Streaming exact dedup on ``keys`` via
+    ``dropDuplicatesWithinWatermark`` — the incremental twin of the batch
+    ``operators.dedup.exact_dedup``/``dropDuplicates``: only the FIRST
+    arrival of each key within the watermark horizon is emitted, and the
+    dedup state is bounded by the watermark (plain streaming
+    dropDuplicates keeps state forever — unusable at 10^12 events).
+
+    ``delay`` is the dedup guarantee window: a duplicate arriving more
+    than ``delay`` of event-time after its first copy MAY be re-emitted
+    (its state has been reclaimed). That is the honest contract at scale
+    — pick the window the pipeline actually needs (dedup of replayed
+    batches needs hours, not forever) and let the batch tier repair
+    beyond it, exactly like the late-data contract of the other
+    streaming operators."""
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(input_path)
+        .withWatermark(ts_col, delay)
+        .dropDuplicatesWithinWatermark(keys)
+    )
+    return (
+        stream.writeStream.format("parquet")
+        .option("path", output_path)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
