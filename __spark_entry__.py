@@ -1294,6 +1294,63 @@ def _q_spectral_features(spark, sf_dir):
     )
 
 
+def _q_hourly_percentiles(spark, sf_dir):
+    """Exact per-(type, hour) latency-style percentile bands (p50/p95/p99
+    + min/max) — the monitoring query behind every SLO dashboard. Exact
+    `percentile` (sort-based; the GK-sketch path is `sketch_quantiles`),
+    unrounded: both engines interpolate the same two order statistics on
+    identical inputs, bit-identically (the `ts_rolling_median` parity
+    argument)."""
+    _prep(spark)
+    p = F.expr("percentile(value, array(0.5, 0.95, 0.99))")
+    return (
+        _events(spark, sf_dir)
+        .groupBy(
+            "event_type",
+            F.date_trunc("hour", F.col("ts")).alias("bucket_ts"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            p.getItem(0).alias("p50"),
+            p.getItem(1).alias("p95"),
+            p.getItem(2).alias("p99"),
+            F.min("value").alias("vmin"),
+            F.max("value").alias("vmax"),
+        )
+    )
+
+
+def _q_series_corr_matrix(spark, sf_dir):
+    """Pairwise Pearson correlation matrix of the five hourly series
+    (upper triangle, positional row alignment like ts_xcorr's lag 0):
+    which metrics move together. One row_number window + one self
+    equi-join on the index + a partial-aggregated corr per pair."""
+    _prep(spark)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("series_id").orderBy("bucket_ts")
+    idx = _hourly_series(spark, sf_dir).select(
+        "series_id",
+        F.col("v").alias("_x"),
+        (F.row_number().over(w) - 1).alias("_i"),
+    )
+    a = idx.select(
+        F.col("series_id").alias("series_a"), F.col("_x").alias("_xa"), "_i"
+    )
+    b = idx.select(
+        F.col("series_id").alias("series_b"), F.col("_x").alias("_xb"), "_i"
+    )
+    return (
+        a.join(b, "_i")
+        .where(F.col("series_a") < F.col("series_b"))
+        .groupBy("series_a", "series_b")
+        .agg(
+            F.round(F.corr("_xa", "_xb"), 6).alias("corr"),
+            F.count(F.lit(1)).alias("n_pairs"),
+        )
+    )
+
+
 def _q_weekly_profile(spark, sf_dir):
     """Weekly seasonal profile: per (event_type, day-of-week, hour-of-day)
     cell — event count, exact-integer mean value (cents), and share of
@@ -2828,6 +2885,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weekly_profile": _q_weekly_profile,
         "top_users_per_hour": _q_top_users_per_hour,
         "data_expectations": _q_data_expectations,
+        "hourly_percentiles": _q_hourly_percentiles,
+        "series_corr_matrix": _q_series_corr_matrix,
         "sessionize": _q_sessionize,
         "quality_score": _q_quality_score,
         "resample_linear": _q_resample_linear,
@@ -3796,6 +3855,33 @@ def oracle_sql() -> dict[str, str]:
                    coalesce((b.v - b.trend - p.seasonal) / 1000000.0,
                             -999999.0) AS residual
             FROM base b JOIN ph p USING (series_id, phase)
+        """,
+        "hourly_percentiles": """
+            SELECT event_type,
+                   date_trunc('hour', ts) AS bucket_ts,
+                   count(*) AS n,
+                   quantile_cont(value, 0.5) AS p50,
+                   quantile_cont(value, 0.95) AS p95,
+                   quantile_cont(value, 0.99) AS p99,
+                   min(value) AS vmin,
+                   max(value) AS vmax
+            FROM events GROUP BY 1, 2
+        """,
+        "series_corr_matrix": """
+            WITH hr AS (SELECT event_type AS series_id,
+                               date_trunc('hour', ts) AS bucket_ts,
+                               round(avg(value), 6) AS v
+                        FROM events GROUP BY 1, 2),
+            idx AS (SELECT series_id, v,
+                           row_number() OVER (PARTITION BY series_id
+                                              ORDER BY bucket_ts) - 1 AS i
+                    FROM hr)
+            SELECT a.series_id AS series_a, b.series_id AS series_b,
+                   round(corr(a.v, b.v), 6) AS corr,
+                   count(*) AS n_pairs
+            FROM idx a JOIN idx b
+              ON a.i = b.i AND a.series_id < b.series_id
+            GROUP BY 1, 2
         """,
         "data_expectations": """
             WITH a AS (SELECT count(*) AS n,
