@@ -1294,6 +1294,31 @@ def _q_spectral_features(spark, sf_dir):
     )
 
 
+def _q_hourly_pivot(spark, sf_dir):
+    """Wide-format hourly matrix via the pivot surface
+    (`groupBy().pivot(values=...)`): one count column per event type —
+    the BI-export shape. Explicit pivot values so Catalyst skips the
+    distinct-scan planning pass (at 100 TB an unlisted pivot first runs
+    a full distinct over the pivot column); exact integer counts;
+    oracle is the standard conditional-aggregation expansion."""
+    _prep(spark)
+    out = (
+        _events(spark, sf_dir)
+        .groupBy(F.date_trunc("hour", F.col("ts")).alias("bucket_ts"))
+        .pivot(
+            "event_type", ["click", "view", "purchase", "signup", "error"]
+        )
+        .agg(F.count(F.lit(1)))
+    )
+    return out.select(
+        "bucket_ts",
+        *[
+            F.coalesce(F.col(c), F.lit(0)).cast("bigint").alias(f"n_{c}")
+            for c in ("click", "view", "purchase", "signup", "error")
+        ],
+    )
+
+
 def _q_hourly_percentiles(spark, sf_dir):
     """Exact per-(type, hour) latency-style percentile bands (p50/p95/p99
     + min/max) — the monitoring query behind every SLO dashboard. Exact
@@ -2886,6 +2911,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_users_per_hour": _q_top_users_per_hour,
         "data_expectations": _q_data_expectations,
         "hourly_percentiles": _q_hourly_percentiles,
+        "hourly_pivot": _q_hourly_pivot,
         "series_corr_matrix": _q_series_corr_matrix,
         "sessionize": _q_sessionize,
         "quality_score": _q_quality_score,
@@ -3855,6 +3881,20 @@ def oracle_sql() -> dict[str, str]:
                    coalesce((b.v - b.trend - p.seasonal) / 1000000.0,
                             -999999.0) AS residual
             FROM base b JOIN ph p USING (series_id, phase)
+        """,
+        "hourly_pivot": """
+            SELECT date_trunc('hour', ts) AS bucket_ts,
+                   CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                       AS BIGINT) AS n_click,
+                   CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                       AS BIGINT) AS n_view,
+                   CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                       AS BIGINT) AS n_purchase,
+                   CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+                       AS BIGINT) AS n_signup,
+                   CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                       AS BIGINT) AS n_error
+            FROM events GROUP BY 1
         """,
         "hourly_percentiles": """
             SELECT event_type,
