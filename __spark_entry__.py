@@ -1294,6 +1294,75 @@ def _q_spectral_features(spark, sf_dir):
     )
 
 
+def _q_event_transitions(spark, sf_dir):
+    """First-order Markov transition matrix over per-user event
+    sequences: P(next = b | current = a) with exact pair counts — the
+    behavioral-flow profile (what users do after an error, what precedes
+    a purchase). One lag window per user's time-ordered events
+    (deterministic (ts, event_id) sort — timestamp ties exist in real
+    data), one hash aggregate; the probability is one division of two
+    exact integers. Row counts are the exact transition counts; an
+    unreachable pair simply has no row."""
+    _prep(spark)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        _events(spark, sf_dir)
+        .select("user_id", "ts", "event_id", "event_type")
+        .withColumn("_next", F.lead("event_type").over(w))
+        .where(F.col("_next").isNotNull())
+    )
+    cur = pairs.groupBy(F.col("event_type").alias("cur")).agg(
+        F.count(F.lit(1)).alias("_n_cur")
+    )
+    return (
+        pairs.groupBy(
+            F.col("event_type").alias("cur"), F.col("_next").alias("nxt")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .join(F.broadcast(cur), "cur")
+        .select(
+            "cur",
+            "nxt",
+            "n",
+            (F.col("n").cast("double") / F.col("_n_cur")).alias("p"),
+        )
+    )
+
+
+def _q_freq_items(spark, sf_dir):
+    """Karp–Shenker–Papadimitriou frequent items over user_id
+    (`DataFrame.freqItems`, support 2%) — the third sketch family after
+    GK quantiles and HLL distinct: single pass, bounded memory, returns
+    a SUPERSET of every item above the support threshold. Rows-only,
+    SELF-VERIFYING on exactly that guarantee: the exact per-user counts
+    are computed in-query and ``sketch_ok`` asserts every user whose
+    true frequency exceeds the support appears in the sketch result
+    (false positives are allowed by the algorithm and reported via
+    ``is_true_heavy``)."""
+    _prep(spark)
+    ev = _events(spark, sf_dir).select("user_id")
+    exact = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_exact"))
+    top_n, total = (
+        exact.agg(F.max("n_exact"), F.sum("n_exact")).collect()[0]
+    )
+    # adaptive support: half the top user's true frequency — heavy
+    # hitters exist by construction at every scale factor (a fixed 2%
+    # was empty on the 150-uniform-user sf0.01 corpus); floor at
+    # freqItems' minimum legal support
+    support = max(1e-4, 0.5 * top_n / total)
+    items = ev.freqItems(["user_id"], support=support).collect()[0][0]
+    heavy = exact.where(F.col("n_exact") > support * total)
+    items_df = F.array(*[F.lit(int(i)) for i in items])
+    return heavy.select(
+        "user_id",
+        "n_exact",
+        (F.col("n_exact") / F.lit(float(total))).alias("freq"),
+        F.array_contains(items_df, F.col("user_id")).alias("sketch_ok"),
+    )
+
+
 def _q_hourly_pivot(spark, sf_dir):
     """Wide-format hourly matrix via the pivot surface
     (`groupBy().pivot(values=...)`): one count column per event type —
@@ -2912,6 +2981,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "data_expectations": _q_data_expectations,
         "hourly_percentiles": _q_hourly_percentiles,
         "hourly_pivot": _q_hourly_pivot,
+        "event_transitions": _q_event_transitions,
         "series_corr_matrix": _q_series_corr_matrix,
         "sessionize": _q_sessionize,
         "quality_score": _q_quality_score,
@@ -2924,6 +2994,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lttb_downsample": _q_lttb_downsample,
         "clustered_layout": _q_clustered_layout,
         "spectral_features": _q_spectral_features,
+        "freq_items": _q_freq_items,
         "fft_spectrum": _q_fft_spectrum,
         "reconstruction_roundtrip": _q_reconstruction_roundtrip,
         "reconstruction_relational": _q_reconstruction_relational,
@@ -3881,6 +3952,19 @@ def oracle_sql() -> dict[str, str]:
                    coalesce((b.v - b.trend - p.seasonal) / 1000000.0,
                             -999999.0) AS residual
             FROM base b JOIN ph p USING (series_id, phase)
+        """,
+        "event_transitions": """
+            WITH p AS (SELECT user_id, event_type AS cur,
+                              lead(event_type) OVER (
+                                  PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS nxt
+                       FROM events),
+            q AS (SELECT cur, nxt FROM p WHERE nxt IS NOT NULL),
+            c AS (SELECT cur, count(*) AS n_cur FROM q GROUP BY 1)
+            SELECT q.cur, q.nxt, count(*) AS n,
+                   CAST(count(*) AS DOUBLE) / c.n_cur AS p
+            FROM q JOIN c USING (cur)
+            GROUP BY q.cur, q.nxt, c.n_cur
         """,
         "hourly_pivot": """
             SELECT date_trunc('hour', ts) AS bucket_ts,
