@@ -1277,11 +1277,14 @@ def _q_spectral_features(spark, sf_dir):
     rel = F.abs(F.col("energy_time") - F.col("energy_spec")) / F.greatest(
         F.col("energy_time"), F.lit(1e-30)
     )
+    # peak_share >= 0 (not > 0): the operator's degenerate branch
+    # (constant series / n < 4) legitimately emits share 0.0 — the
+    # Parseval equality is the load-bearing check
     inv = (
         (rel <= 1e-6)
         & (F.col("spectral_entropy") >= 0)
         & (F.col("spectral_entropy") <= 1)
-        & (F.col("peak_share") > 0)
+        & (F.col("peak_share") >= 0)
         & (F.col("peak_share") <= 1)
     )
     return out.select(
@@ -1333,34 +1336,44 @@ def _q_event_transitions(spark, sf_dir):
 
 def _q_freq_items(spark, sf_dir):
     """Karp–Shenker–Papadimitriou frequent items over user_id
-    (`DataFrame.freqItems`, support 2%) — the third sketch family after
-    GK quantiles and HLL distinct: single pass, bounded memory, returns
-    a SUPERSET of every item above the support threshold. Rows-only,
-    SELF-VERIFYING on exactly that guarantee: the exact per-user counts
-    are computed in-query and ``sketch_ok`` asserts every user whose
-    true frequency exceeds the support appears in the sketch result
-    (false positives are allowed by the algorithm and reported via
-    ``is_true_heavy``)."""
+    (`DataFrame.freqItems`) — the third sketch family after GK quantiles
+    and HLL distinct: single pass, bounded memory, returns a SUPERSET of
+    every sufficiently-frequent item. Rows-only, SELF-VERIFYING on the
+    algorithm's ACTUAL guarantee: with ``k = floor(1/support)`` counters
+    KSP only promises survival for items with count STRICTLY ABOVE
+    ``total/k`` — ``support*total`` is a weaker threshold a correct
+    implementation may legitimately miss, and asserting it would
+    red-gate correct code. If no item clears the guarantee threshold at
+    this scale, one sentinel row documents that honestly instead of
+    failing the gate on an empty result."""
     _prep(spark)
     ev = _events(spark, sf_dir).select("user_id")
     exact = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_exact"))
     top_n, total = (
         exact.agg(F.max("n_exact"), F.sum("n_exact")).collect()[0]
     )
-    # adaptive support: half the top user's true frequency — heavy
-    # hitters exist by construction at every scale factor (a fixed 2%
-    # was empty on the 150-uniform-user sf0.01 corpus); floor at
-    # freqItems' minimum legal support
+    # adaptive support: half the top user's true frequency — the top
+    # user then clears total/k by construction whenever the 1e-4 API
+    # floor doesn't bind (a fixed 2% was empty on the 150-uniform-user
+    # sf0.01 corpus)
     support = max(1e-4, 0.5 * top_n / total)
+    k = int(1.0 / support)
     items = ev.freqItems(["user_id"], support=support).collect()[0][0]
-    heavy = exact.where(F.col("n_exact") > support * total)
+    heavy = exact.where(F.col("n_exact") > total / k)
     items_df = F.array(*[F.lit(int(i)) for i in items])
-    return heavy.select(
+    out = heavy.select(
         "user_id",
         "n_exact",
         (F.col("n_exact") / F.lit(float(total))).alias("freq"),
         F.array_contains(items_df, F.col("user_id")).alias("sketch_ok"),
     )
+    if out.limit(1).count() == 0:
+        return spark.createDataFrame(
+            [(-1, 0, 0.0, True)],
+            "user_id bigint, n_exact bigint, freq double, "
+            "sketch_ok boolean",
+        )
+    return out
 
 
 def _q_hourly_pivot(spark, sf_dir):
@@ -1575,7 +1588,12 @@ def _q_clustered_layout(spark, sf_dir):
     stats = layout_stats(path, "user_id")
     files = sorted({s["file"] for s in stats})
     # probes span the ACTUAL key domain read back from the files — fixed
-    # probe values would fall outside small-sf domains and prune vacuously
+    # probe values would fall outside small-sf domains and prune
+    # vacuously. The writer always produces int64 min/max stats; a
+    # stat-less row group here means the write itself is broken, so fail
+    # loudly rather than probing a half-known domain.
+    if any(s["min"] is None or s["max"] is None for s in stats):
+        raise RuntimeError("clustered write produced stat-less row groups")
     gmin = min(s["min"] for s in stats)
     gmax = max(s["max"] for s in stats)
     probes = [gmin + (gmax - gmin) * i // 4 for i in range(5)]

@@ -51,3 +51,23 @@ def test_single_scan_plan(spark):
 def test_empty_rules_rejected(spark):
     with pytest.raises(ValueError, match="no rules"):
         check_expectations(spark.range(1), {})
+
+
+def test_bad_rule_name_rejected(spark):
+    df = spark.range(3)
+    with pytest.raises(ValueError, match="rule name"):
+        check_expectations(df, {"has-nulls": F.col("id") >= 0})
+    with pytest.raises(ValueError, match="rule name"):
+        check_expectations(df, {"o'clock": F.col("id") >= 0})
+
+
+def test_empty_input_pass_rate_vacuous(spark):
+    out = (
+        check_expectations(
+            spark.range(5).where(F.col("id") < 0),
+            {"nonneg": F.col("id") >= 0},
+        )
+        .toPandas()
+    )
+    assert out.n_rows.iloc[0] == 0
+    assert out.pass_rate.iloc[0] == 1.0  # vacuous, never NaN

@@ -54,3 +54,17 @@ def test_identifier_without_runtime_falls_back_loudly(spark):
 def test_bad_format_rejected(spark):
     with pytest.raises(ValueError, match="unsupported"):
         read_table(spark, "/tmp/x", format="orc")
+
+
+def test_runtime_conf_catalog_scanned_without_runtime(spark):
+    """A catalog registered via spark.conf.set after session start is
+    seen by the conf scan, but with no Iceberg jar on the classpath the
+    availability check still (correctly) returns False — and forcing
+    iceberg still raises rather than misreading."""
+    spark.conf.set("spark.sql.catalog.rt_test", "whatever.Class")
+    try:
+        assert iceberg_available(spark) is False  # class load fails
+        with pytest.raises(RuntimeError, match="Iceberg"):
+            read_table(spark, "rt_test.db.t", format="iceberg")
+    finally:
+        spark.conf.unset("spark.sql.catalog.rt_test")

@@ -42,13 +42,15 @@ def _looks_like_identifier(source: str) -> bool:
 def iceberg_available(spark: SparkSession) -> bool:
     """True iff an Iceberg catalog is configured and its implementation
     classes are on the classpath (checked by instantiating nothing —
-    just loading the class through the JVM gateway)."""
+    just loading the class through the JVM gateway). Catalogs registered
+    AFTER session start via ``spark.conf.set("spark.sql.catalog.x", ...)``
+    live only in the runtime SQL conf, not the SparkContext conf, so
+    both are scanned (``SET`` enumerates explicitly-set runtime
+    entries)."""
     try:
-        confs = spark.sparkContext.getConf().getAll()
-        has_catalog = any(
-            k.startswith("spark.sql.catalog.") for k, _ in confs
-        )
-        if not has_catalog:
+        keys = [k for k, _ in spark.sparkContext.getConf().getAll()]
+        keys += [r["key"] for r in spark.sql("SET").collect()]
+        if not any(k.startswith("spark.sql.catalog.") for k in keys):
             return False
         jvm = spark.sparkContext._jvm
         jvm.java.lang.Class.forName(
@@ -59,6 +61,31 @@ def iceberg_available(spark: SparkSession) -> bool:
         return False
 
 
+def _resolve_format(
+    spark: SparkSession, source: str, format: str | None
+) -> str:
+    """Shared format resolution for read/write: explicit format wins;
+    otherwise identifiers route to iceberg when a runtime exists, paths
+    to parquet. Asking for iceberg without a runtime raises here —
+    silently reading the wrong thing is the failure mode this module
+    exists to prevent."""
+    fmt, avail = format, None
+    if fmt is None:
+        avail = _looks_like_identifier(source) and iceberg_available(spark)
+        fmt = "iceberg" if avail else "parquet"
+    if fmt == "iceberg":
+        if avail is None:
+            avail = iceberg_available(spark)
+        if not avail:
+            raise RuntimeError(
+                "iceberg requested but no Iceberg catalog/runtime is "
+                "configured in this SparkSession"
+            )
+    if fmt not in ("iceberg", "parquet"):
+        raise ValueError(f"unsupported table format: {fmt!r}")
+    return fmt
+
+
 def read_table(
     spark: SparkSession, source: str, format: str | None = None
 ) -> DataFrame:
@@ -66,23 +93,10 @@ def read_table(
     (and the runtime is present), else as parquet. Explicit ``format``
     overrides the guess; asking for iceberg without a runtime raises
     rather than silently reading the wrong thing."""
-    fmt = format
-    if fmt is None:
-        fmt = (
-            "iceberg"
-            if _looks_like_identifier(source) and iceberg_available(spark)
-            else "parquet"
-        )
+    fmt = _resolve_format(spark, source, format)
     if fmt == "iceberg":
-        if not iceberg_available(spark):
-            raise RuntimeError(
-                "iceberg requested but no Iceberg catalog/runtime is "
-                "configured in this SparkSession"
-            )
         return spark.read.format("iceberg").load(source)
-    if fmt == "parquet":
-        return spark.read.parquet(source)
-    raise ValueError(f"unsupported table format: {fmt!r}")
+    return spark.read.parquet(source)
 
 
 def write_table(
@@ -93,22 +107,8 @@ def write_table(
     overwrite writes (compose with ``operators.layout.write_clustered``
     when scan layout matters)."""
     spark = df.sparkSession
-    fmt = format
-    if fmt is None:
-        fmt = (
-            "iceberg"
-            if _looks_like_identifier(target) and iceberg_available(spark)
-            else "parquet"
-        )
+    fmt = _resolve_format(spark, target, format)
     if fmt == "iceberg":
-        if not iceberg_available(spark):
-            raise RuntimeError(
-                "iceberg requested but no Iceberg catalog/runtime is "
-                "configured in this SparkSession"
-            )
         df.writeTo(target).using("iceberg").createOrReplace()
         return
-    if fmt == "parquet":
-        df.write.mode("overwrite").parquet(target)
-        return
-    raise ValueError(f"unsupported table format: {fmt!r}")
+    df.write.mode("overwrite").parquet(target)

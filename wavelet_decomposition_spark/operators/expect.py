@@ -29,8 +29,18 @@ def check_expectations(
     cannot be evaluated did not pass — the conservative ingest-gate
     convention). Returns ``(rule, n_rows, n_violations, pass_rate)``
     sorted by rule name."""
+    import re
+
     if not rules:
         raise ValueError("no rules given")
+    # rule names are spliced into generated SQL (stack literals and
+    # column refs): restrict to identifier charset rather than attempt
+    # escaping — a clear error beats a parse error three layers down
+    for name in rules:
+        if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", name):
+            raise ValueError(
+                f"rule name {name!r} must match [A-Za-z_][A-Za-z0-9_]*"
+            )
     aggs = [F.count(F.lit(1)).alias("_n")]
     for name, cond in rules.items():
         aggs.append(
@@ -46,12 +56,16 @@ def check_expectations(
             ", ".join(f"'{n}', _n, _v_{n}" for n in names),
         )
     )
+    # empty input: pass_rate is vacuously 1.0 (0/0 would emit NaN, and
+    # NaN comparisons silently fail every downstream alert predicate)
     return stacked.select(
         "rule",
         "n_rows",
         "n_violations",
-        (
+        F.when(F.col("n_rows") == 0, F.lit(1.0))
+        .otherwise(
             (F.col("n_rows") - F.col("n_violations")).cast("double")
             / F.col("n_rows")
-        ).alias("pass_rate"),
+        )
+        .alias("pass_rate"),
     )

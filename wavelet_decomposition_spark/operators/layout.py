@@ -107,10 +107,15 @@ def pruning_factor(stats: list, probes: list) -> float:
     covers every key), 1/n_files is perfect clustering. Uses file-level
     [min, max] envelopes, the same coarse statistic a distributed scan
     planner prunes with before row-group elimination."""
+    inf = float("inf")
     files: dict = {}
     for s in stats:
-        lo, hi = files.get(s["file"], (s["min"], s["max"]))
-        files[s["file"]] = (min(lo, s["min"]), max(hi, s["max"]))
+        # a row group without min/max statistics cannot be pruned: treat
+        # its envelope as infinite rather than crashing on None
+        smin = s["min"] if s["min"] is not None else -inf
+        smax = s["max"] if s["max"] is not None else inf
+        lo, hi = files.get(s["file"], (smin, smax))
+        files[s["file"]] = (min(lo, smin), max(hi, smax))
     if not files or not probes:
         return 1.0
     total = 0
