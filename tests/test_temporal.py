@@ -259,3 +259,59 @@ def test_plan_single_exchange(spark):
     plan = interval_union(iv)._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") <= 2  # shuffle + AQE final agg exchange
     assert "Python" not in plan
+
+
+def test_twa_mass_conservation_property(spark):
+    """Conservation law the bucketization must not break: the total
+    value-time mass of all emitted buckets (sum of twa * covered_us)
+    equals the direct integral of the LOCF step function (sum of
+    v_i * (t_{i+1} - t_i)) — bucket splitting regroups the sum but must
+    not create or destroy mass. Run over several random shapes."""
+    for seed in (1, 7, 42):
+        df = _samples(seed=seed, n=300, n_keys=3)
+        out = time_weighted_avg(
+            spark.createDataFrame(df), bucket="1 hour"
+        ).toPandas()
+        got_mass = (out.twa * out.covered_us).sum()
+        want_mass = 0.0
+        for _, g in df.groupby("series_id"):
+            g = g.sort_values("ts")
+            t = g.ts.astype("int64").to_numpy() // 1000
+            v = g.v.to_numpy()
+            want_mass += (v[:-1] * np.diff(t)).sum()
+        np.testing.assert_allclose(got_mass, want_mass, rtol=1e-12)
+
+
+def test_interval_union_coverage_properties(spark):
+    """For random interval sets: islands are disjoint and sorted per key,
+    every input interval is inside exactly the union's coverage (total
+    n_intervals preserved), and summed island lengths equal a brute
+    boolean-sweep union length."""
+    rng = np.random.default_rng(33)
+    n = 400
+    start = BASE + rng.integers(0, 20_000, n)
+    df = pd.DataFrame(
+        {
+            "series_id": rng.integers(0, 4, n).astype(np.int64),
+            "start_ts": pd.to_datetime(start, unit="s"),
+            "end_ts": pd.to_datetime(
+                start + rng.integers(1, 3000, n), unit="s"
+            ),
+        }
+    )
+    out = interval_union(spark.createDataFrame(df)).toPandas()
+    assert out.n_intervals.sum() == n
+    for k, g in out.groupby("series_id"):
+        g = g.sort_values("island_start")
+        s = g.island_start.astype("int64").to_numpy()
+        e = g.island_end.astype("int64").to_numpy()
+        assert (s[1:] > e[:-1]).all()  # disjoint, gap between islands
+        # brute union length via second-resolution sweep
+        mask = np.zeros(25_000, dtype=bool)
+        sub = df[df.series_id == k]
+        for a, b in zip(
+            sub.start_ts.astype("int64") // 10**9 - BASE,
+            sub.end_ts.astype("int64") // 10**9 - BASE,
+        ):
+            mask[a:b] = True
+        np.testing.assert_equal(((e - s) // 10**9).sum(), mask.sum())
