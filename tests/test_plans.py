@@ -163,3 +163,28 @@ def test_wavelet_stage_single_shuffle(spark):
     # pre-UDF projection: unused tier columns must not ride the shuffle into
     # the Python stage (Catalyst cannot prune into grouped-map UDFs itself)
     assert "chars" not in plan and "tool_calls" not in plan
+
+
+@pytest.mark.slow
+def test_no_undesigned_nested_loop_joins_anywhere(spark):
+    """Full-surface sweep (the pytest form of tools/plan_audit.py): plan
+    every driver query at sf0.001 and assert no BroadcastNestedLoopJoin /
+    CartesianProduct outside the designed tiny-broadcast allowlist — the
+    one plan regression that silently turns a scale path quadratic."""
+    import re
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as entrymod
+    from tools.plan_audit import DESIGNED_BNL
+
+    offenders = {}
+    for name, fn in sorted(entrymod.queries().items()):
+        df = fn(spark, "/root/testdata/sf0.001")
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        n = len(
+            re.findall(r"BroadcastNestedLoopJoin|CartesianProduct", plan)
+        )
+        if n and name not in DESIGNED_BNL:
+            offenders[name] = n
+    assert not offenders, offenders
