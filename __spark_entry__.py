@@ -1227,6 +1227,62 @@ def _q_value_histogram(spark, sf_dir):
     )
 
 
+def _q_snapshot_diff(spark, sf_dir):
+    """CDC-style snapshot reconciliation: diff two versions of the events
+    table (the second with deterministic planted mutations — deletions
+    where event_id%101==0, value updates where %97==0, and appended
+    synthetic rows) into per-key change classes via ONE full-outer join
+    on the key, then aggregate class counts plus an exact integer-cents
+    checksum of the value drift. The primitive behind tier-rebuild
+    verification and backfill audits; at scale the join is the only
+    shuffle and pre-bucketed snapshots would co-locate it."""
+    _prep(spark)
+    ev = _events(spark, sf_dir).select("event_id", "user_id", "value")
+    new = (
+        ev.where(F.col("event_id") % 101 != 0)
+        .withColumn(
+            "value",
+            F.when(
+                F.col("event_id") % 97 == 0, F.col("value") + 1.5
+            ).otherwise(F.col("value")),
+        )
+        .unionByName(
+            ev.select(
+                (F.col("event_id") + 10_000_000).alias("event_id"),
+                "user_id",
+                "value",
+            ).where(F.col("event_id") % 500 == 0)
+        )
+    )
+    a = ev.select(
+        "event_id",
+        F.col("value").alias("_va"),
+        F.round(F.col("value") * 100).cast("bigint").alias("_ca"),
+    )
+    b = new.select(
+        "event_id",
+        F.col("value").alias("_vb"),
+        F.round(F.col("value") * 100).cast("bigint").alias("_cb"),
+    )
+    j = a.join(b, "event_id", "full_outer")
+    cls = (
+        F.when(F.col("_va").isNull(), F.lit("added"))
+        .when(F.col("_vb").isNull(), F.lit("removed"))
+        .when(F.col("_ca") != F.col("_cb"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return (
+        j.withColumn("change", cls)
+        .groupBy("change")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.coalesce("_cb", F.lit(0)) - F.coalesce("_ca", F.lit(0))
+            ).alias("cents_drift"),
+        )
+    )
+
+
 def _q_data_expectations(spark, sf_dir):
     """Declarative ingest-gate expectations over events
     (operators/expect.py check_expectations): six rules — nullability,
@@ -2997,6 +3053,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weekly_profile": _q_weekly_profile,
         "top_users_per_hour": _q_top_users_per_hour,
         "data_expectations": _q_data_expectations,
+        "snapshot_diff": _q_snapshot_diff,
         "hourly_percentiles": _q_hourly_percentiles,
         "hourly_pivot": _q_hourly_pivot,
         "event_transitions": _q_event_transitions,
@@ -4024,6 +4081,33 @@ def oracle_sql() -> dict[str, str]:
             FROM idx a JOIN idx b
               ON a.i = b.i AND a.series_id < b.series_id
             GROUP BY 1, 2
+        """,
+        "snapshot_diff": """
+            WITH ev AS (SELECT event_id, user_id, value FROM events),
+            nw AS (
+                SELECT event_id, user_id,
+                       CASE WHEN event_id % 97 = 0 THEN value + 1.5
+                            ELSE value END AS value
+                FROM ev WHERE event_id % 101 != 0
+                UNION ALL
+                SELECT event_id + 10000000, user_id, value
+                FROM ev WHERE event_id % 500 = 0),
+            a AS (SELECT event_id, value AS va,
+                         CAST(round(value * 100) AS BIGINT) AS ca
+                  FROM ev),
+            b AS (SELECT event_id, value AS vb,
+                         CAST(round(value * 100) AS BIGINT) AS cb
+                  FROM nw),
+            j AS (SELECT va, ca, vb, cb
+                  FROM a FULL OUTER JOIN b ON a.event_id = b.event_id)
+            SELECT CASE WHEN va IS NULL THEN 'added'
+                        WHEN vb IS NULL THEN 'removed'
+                        WHEN ca != cb THEN 'changed'
+                        ELSE 'unchanged' END AS change,
+                   count(*) AS n,
+                   CAST(sum(coalesce(cb, 0) - coalesce(ca, 0)) AS BIGINT)
+                       AS cents_drift
+            FROM j GROUP BY 1
         """,
         "data_expectations": """
             WITH a AS (SELECT count(*) AS n,
