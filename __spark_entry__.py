@@ -1227,6 +1227,39 @@ def _q_value_histogram(spark, sf_dir):
     )
 
 
+def _q_user_profile(spark, sf_dir):
+    """Per-user lifetime profile: first/last seen, tenure, distinct
+    active days, event counts by class, exact integer-cents spend — the
+    LTV/engagement table every downstream model joins against. ONE hash
+    aggregate over events (conditional aggregation for the per-class
+    counts — no per-class scans), integer-exact money."""
+    _prep(spark)
+    ev = _events(spark, sf_dir)
+    tenure_s = (
+        F.unix_micros(F.max("ts").cast("timestamp"))
+        - F.unix_micros(F.min("ts").cast("timestamp"))
+    ) / F.lit(1_000_000.0)
+    return ev.groupBy("user_id").agg(
+        F.min("ts").alias("first_seen"),
+        F.max("ts").alias("last_seen"),
+        F.round(tenure_s, 6).alias("tenure_s"),
+        F.countDistinct(F.to_date("ts")).alias("active_days"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).cast("bigint").alias("n_purchases"),
+        F.sum(
+            F.when(F.col("event_type") == "error", 1).otherwise(0)
+        ).cast("bigint").alias("n_errors"),
+        F.sum(
+            F.when(
+                F.col("event_type") == "purchase",
+                F.round(F.col("value") * 100).cast("bigint"),
+            ).otherwise(F.lit(0).cast("bigint"))
+        ).alias("spend_cents"),
+    )
+
+
 def _q_snapshot_diff(spark, sf_dir):
     """CDC-style snapshot reconciliation: diff two versions of the events
     table (the second with deterministic planted mutations — deletions
@@ -3054,6 +3087,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_users_per_hour": _q_top_users_per_hour,
         "data_expectations": _q_data_expectations,
         "snapshot_diff": _q_snapshot_diff,
+        "user_profile": _q_user_profile,
         "hourly_percentiles": _q_hourly_percentiles,
         "hourly_pivot": _q_hourly_pivot,
         "event_transitions": _q_event_transitions,
@@ -4081,6 +4115,24 @@ def oracle_sql() -> dict[str, str]:
             FROM idx a JOIN idx b
               ON a.i = b.i AND a.series_id < b.series_id
             GROUP BY 1, 2
+        """,
+        "user_profile": """
+            SELECT user_id,
+                   min(ts) AS first_seen,
+                   max(ts) AS last_seen,
+                   round(date_diff('microsecond', min(ts), max(ts))
+                         / 1000000.0, 6) AS tenure_s,
+                   count(DISTINCT CAST(ts AS DATE)) AS active_days,
+                   count(*) AS n_events,
+                   CAST(sum(CASE WHEN event_type = 'purchase'
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_purchases,
+                   CAST(sum(CASE WHEN event_type = 'error'
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_errors,
+                   CAST(sum(CASE WHEN event_type = 'purchase'
+                                 THEN CAST(round(value * 100) AS BIGINT)
+                                 ELSE 0 END) AS BIGINT) AS spend_cents
+            FROM events GROUP BY 1
         """,
         "snapshot_diff": """
             WITH ev AS (SELECT event_id, user_id, value FROM events),

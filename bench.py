@@ -185,7 +185,7 @@ def main():
         # change-point, classical seasonal decomposition
         "ts_rolling", "ts_ewma", "ts_acf", "m4_downsample", "ts_anomaly",
         "ts_cusum", "ts_seasonal", "ts_brown_les", "ts_xcorr",
-        "lttb_downsample", "ts_rolling_median", "ts_theil_sen", "ts_strengths", "ts_period", "value_histogram", "weekly_profile", "top_users_per_hour", "spectral_features", "data_expectations", "hourly_percentiles", "series_corr_matrix", "hourly_pivot", "event_transitions", "freq_items", "snapshot_diff",
+        "lttb_downsample", "ts_rolling_median", "ts_theil_sen", "ts_strengths", "ts_period", "value_histogram", "weekly_profile", "top_users_per_hour", "spectral_features", "data_expectations", "hourly_percentiles", "series_corr_matrix", "hourly_pivot", "event_transitions", "freq_items", "snapshot_diff", "user_profile",
         # text cleaning: PII redaction + boilerplate strip + intra-doc
         # repetition scoring (pure JVM regexp/aggregate paths)
         "pii_redact", "repetition_ratio",
