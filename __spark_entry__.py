@@ -76,6 +76,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 def _q_activity_1m(spark, sf_dir):
+    """Per-(event_type, minute) activity tier — counts and 6-dp value
+    sums; the base continuous aggregate of the rollup tower."""
     _prep(spark)
     return (
         _events(spark, sf_dir)
@@ -2305,6 +2307,9 @@ def _q_transcript_rollup_1m(spark, sf_dir):
 
 
 def _q_dwt_energy(spark, sf_dir):
+    """Haar DWT per-scale energy spectra over dyadic windows of the
+    transcript 1m tier, with a single-lineage Parseval invariant column
+    (sum of band energies equals window energy) riding every row."""
     _prep(spark)
     from wavelet_decomposition_spark.io.transcripts import transcripts_df
     from wavelet_decomposition_spark.operators import (
