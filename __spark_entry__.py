@@ -427,6 +427,47 @@ def _q_nation_revenue(spark, sf_dir):
     )
 
 
+def _q_shipping_priority(spark, sf_dir):
+    """TPC-H Q3 shape (shipping priority): customer segment filter ->
+    broadcast join into orders -> shuffle join into lineitem -> top 10
+    unshipped orders by revenue. Revenue is quantized to exact 10^-4
+    units before summing (price has 2 dp, discount 2 dp, so
+    price*(1-disc) is a 4-dp decimal: integer sums are order-free and
+    bit-identical cross-engine; a float sum + round would be at the
+    mercy of association order). Deterministic (revenue desc, orderkey)
+    top-k."""
+    _prep(spark)
+    cutoff = F.lit("1998-06-15").cast("timestamp_ntz")
+    cust = (
+        spark.read.parquet(f"{sf_dir}/customer.parquet")
+        .where(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    orders = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .where(F.col("o_orderdate") < cutoff)
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    )
+    li = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .where(F.col("l_shipdate") > cutoff)
+        .select(
+            "l_orderkey",
+            F.round(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10_000
+            ).cast("bigint").alias("_rev4"),
+        )
+    )
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg((F.sum("_rev4") / 10_000.0).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+    )
+
+
 def _q_dedup_groups(spark, sf_dir):
     """Exact dedup groups over normalized-text fingerprints."""
     _prep(spark)
@@ -3051,6 +3092,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_argmin": _q_topk_argmin,
         "pricing_summary": _q_pricing_summary,
         "nation_revenue": _q_nation_revenue,
+        "shipping_priority": _q_shipping_priority,
         "dedup_groups": _q_dedup_groups,
         "dedup_keep_first": _q_dedup_keep_first,
         "ngram_jaccard": _q_ngram_jaccard,
@@ -3587,6 +3629,21 @@ def oracle_sql() -> dict[str, str]:
                        6), -1.0) AS purchase_age_s
             FROM c ASOF LEFT JOIN p
               ON c.user_id = p.user_id AND c.ts >= p.ts
+        """,
+        "shipping_priority": """
+            SELECT o.o_orderkey, o.o_orderdate, o.o_orderpriority,
+                   CAST(sum(CAST(round(l.l_extendedprice
+                        * (1 - l.l_discount) * 10000) AS BIGINT))
+                        AS BIGINT) / 10000.0 AS revenue
+            FROM customer c
+            JOIN orders o ON o.o_custkey = c.c_custkey
+            JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+            WHERE c.c_mktsegment = 'BUILDING'
+              AND o.o_orderdate < TIMESTAMP '1998-06-15'
+              AND l.l_shipdate > TIMESTAMP '1998-06-15'
+            GROUP BY 1, 2, 3
+            ORDER BY revenue DESC, o.o_orderkey ASC
+            LIMIT 10
         """,
         "interval_join": """
             WITH c AS (SELECT event_id, user_id, ts FROM events
