@@ -468,6 +468,50 @@ def _q_shipping_priority(spark, sf_dir):
     )
 
 
+def _q_returned_customers(spark, sf_dir):
+    """TPC-H Q10 shape (returned-item reporting): lineitem returnflag +
+    order-date-quarter filters -> shuffle join on orderkey -> broadcast
+    joins into customer and nation -> top 20 customers by lost revenue.
+    Same exact 1e-4-unit revenue quantization as shipping_priority, so
+    the top-k boundary is deterministic cross-engine."""
+    _prep(spark)
+    lo = F.lit("1997-01-01").cast("timestamp_ntz")
+    hi = F.lit("1997-04-01").cast("timestamp_ntz")
+    orders = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .where((F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi))
+        .select("o_orderkey", "o_custkey")
+    )
+    li = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .where(F.col("l_returnflag") == "R")
+        .select(
+            "l_orderkey",
+            F.round(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10_000
+            ).cast("bigint").alias("_rev4"),
+        )
+    )
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_custkey", "c_name", "c_acctbal", "c_nationkey"
+    )
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet").select(
+        "n_nationkey", "n_name"
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            (F.sum("_rev4") / 10_000.0).alias("revenue"),
+            F.round(F.first("c_acctbal"), 6).alias("acctbal"),
+        )
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
 def _q_dedup_groups(spark, sf_dir):
     """Exact dedup groups over normalized-text fingerprints."""
     _prep(spark)
@@ -3093,6 +3137,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pricing_summary": _q_pricing_summary,
         "nation_revenue": _q_nation_revenue,
         "shipping_priority": _q_shipping_priority,
+        "returned_customers": _q_returned_customers,
         "dedup_groups": _q_dedup_groups,
         "dedup_keep_first": _q_dedup_keep_first,
         "ngram_jaccard": _q_ngram_jaccard,
@@ -3629,6 +3674,23 @@ def oracle_sql() -> dict[str, str]:
                        6), -1.0) AS purchase_age_s
             FROM c ASOF LEFT JOIN p
               ON c.user_id = p.user_id AND c.ts >= p.ts
+        """,
+        "returned_customers": """
+            SELECT c.c_custkey, c.c_name, n.n_name,
+                   CAST(sum(CAST(round(l.l_extendedprice
+                        * (1 - l.l_discount) * 10000) AS BIGINT))
+                        AS BIGINT) / 10000.0 AS revenue,
+                   round(c.c_acctbal, 6) AS acctbal
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            WHERE l.l_returnflag = 'R'
+              AND o.o_orderdate >= TIMESTAMP '1997-01-01'
+              AND o.o_orderdate < TIMESTAMP '1997-04-01'
+            GROUP BY 1, 2, 3, c.c_acctbal
+            ORDER BY revenue DESC, c.c_custkey ASC
+            LIMIT 20
         """,
         "shipping_priority": """
             SELECT o.o_orderkey, o.o_orderdate, o.o_orderpriority,

@@ -170,7 +170,7 @@ def main():
     # --- representative operator queries on the sf tables ------------------
     bench_queries = [
         "activity_1m", "rollup_1h", "gapfill_locf", "epn_thresholds",
-        "pricing_summary", "nation_revenue", "shipping_priority", "dedup_groups", "ngram_jaccard",
+        "pricing_summary", "nation_revenue", "shipping_priority", "returned_customers", "dedup_groups", "ngram_jaccard",
         "ngram_jaccard_bounded", "doc_stats", "ann_topk", "minhash_pairs",
         "simhash_near", "gorilla_blocks", "translation_search", "sessionize",
         # round-4 additions: as-of join + interpolating gap-fill (timeseries),
