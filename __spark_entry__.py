@@ -1918,6 +1918,112 @@ def _q_conversation_stats_skew(spark, sf_dir):
     return conversation_stats(tx, n_salts=16)
 
 
+def _skewed_events(spark, sf_dir):
+    """Events with a PLANTED power-law key: every user with user_id%5==0
+    is remapped to one hot key (-1), concentrating ~20% of all events on a
+    single grouping/window key — the skew shape a 100x scale-up produces
+    (one mega-customer, one runaway agent conversation). Deterministic and
+    expressed identically in the DuckDB oracles."""
+    return _events(spark, sf_dir).withColumn(
+        "user_id",
+        F.when(F.col("user_id") % 5 == 0, F.lit(-1).cast("bigint"))
+        .otherwise(F.col("user_id")),
+    )
+
+
+def _q_sessionize_skewed(spark, sf_dir):
+    """Gap-based sessionization under planted ~20%-hot-key skew
+    (`_skewed_events`): the hot key's merged timeline stresses the per-key
+    window sort, and the result must stay oracle-exact. Values are
+    quantized to integer cents BEFORE the session aggregate so the hot
+    sessions' big sums stay order-free and bit-identical cross-engine.
+    tests/test_plans.py pins the skew-robustness plan properties (AQE
+    skew-split on the shuffle, map-side partial agg)."""
+    _prep(spark)
+    from wavelet_decomposition_spark.operators.sessions import sessionize
+
+    ev = _skewed_events(spark, sf_dir).withColumn(
+        "value", F.round(F.col("value") * 100).cast("bigint")
+    )
+    out = sessionize(
+        ev, gap="30 minutes", group_col="user_id",
+        ts_col="ts", order_col="event_id", value_col="value",
+    )
+    return out.withColumnRenamed("total_value", "total_cents")
+
+
+def _q_user_profile_skewed(spark, sf_dir):
+    """Per-user lifetime profile under planted ~20%-hot-key skew: same
+    aggregate as `user_profile` over `_skewed_events`. Exactness under
+    skew comes from map-side partial aggregation — the hot key is
+    pre-combined inside every input partition before the ONE exchange, so
+    the reducer receives at most n_partitions rows for it (asserted on
+    the plan in tests/test_plans.py)."""
+    _prep(spark)
+    ev = _skewed_events(spark, sf_dir)
+    tenure_s = (
+        F.unix_micros(F.max("ts").cast("timestamp"))
+        - F.unix_micros(F.min("ts").cast("timestamp"))
+    ) / F.lit(1_000_000.0)
+    return ev.groupBy("user_id").agg(
+        F.min("ts").alias("first_seen"),
+        F.max("ts").alias("last_seen"),
+        F.round(tenure_s, 6).alias("tenure_s"),
+        F.countDistinct(F.to_date("ts")).alias("active_days"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).cast("bigint").alias("n_purchases"),
+        F.sum(
+            F.when(F.col("event_type") == "error", 1).otherwise(0)
+        ).cast("bigint").alias("n_errors"),
+        F.sum(
+            F.when(
+                F.col("event_type") == "purchase",
+                F.round(F.col("value") * 100).cast("bigint"),
+            ).otherwise(F.lit(0).cast("bigint"))
+        ).alias("spend_cents"),
+    )
+
+
+def _q_lang_id(spark, sf_dir):
+    """Real n-gram language ID (operators/langid.py — naive-Bayes byte
+    trigrams, Cavnar-Trenkle 1994 profile method, one Arrow kernel, no
+    shuffle): classifies every sf document, with a labeled HELD-OUT
+    fixture (50 sentences x 10 languages, disjoint from the training
+    seeds) riding along — ``lang_acc_ok`` asserts fixture accuracy >= 0.9
+    on every output row, so the rows-only gate cannot pass on a broken
+    classifier. Replaces the round-4 six-marker-word `lang_marker_hits`
+    toy as the production lang-ID path."""
+    _prep(spark)
+    from wavelet_decomposition_spark.operators.langid import (
+        held_out_fixture,
+        lang_id_ngram,
+    )
+
+    docs = lang_id_ngram(_docs(spark, sf_dir))
+    fix = spark.createDataFrame(
+        held_out_fixture(), "row_id int, true_lang string, text string"
+    )
+    acc = (
+        lang_id_ngram(fix, id_col="row_id")
+        .join(fix.select("row_id", "true_lang"), "row_id")
+        .agg(
+            F.avg(
+                (F.col("lang") == F.col("true_lang")).cast("double")
+            ).alias("acc")
+        )
+    )
+    # 1-row broadcast invariant join (allowlisted tiny-BNL pattern)
+    return docs.crossJoin(F.broadcast(acc)).select(
+        "doc_id",
+        "lang",
+        "margin",
+        F.round("acc", 4).alias("fixture_acc"),
+        (F.col("acc") >= 0.9).alias("lang_acc_ok"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # rows-only (non-SQL-expressible) queries
 # ---------------------------------------------------------------------------
@@ -3124,7 +3230,73 @@ def _q_stream_rollup_drain(spark, sf_dir):
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Driver contract: one entry per implemented operator/query.
+
+    ORDERING IS A ROTATION, not taxonomy. The driver verifies only the
+    FIRST 50 entries each round, so the dict is ordered by driver-
+    visibility debt: (1) queries new this round, (2) oracle queries that
+    had no driver row in CORRECTNESS_r04 (positions 51-63 last round),
+    (3) all rows-only invariant-gated queries (never driver-checked
+    through r04), (4) oracle queries already driver-green in r04 (their
+    green rows are on record; they rotate back in next round). Every
+    query keeps its local gate (tools/check_correctness.py) regardless
+    of window position.
+    """
     return {
+        # -- (1) new this round: never driver-checked ---------------------
+        "lang_id": _q_lang_id,
+        "sessionize_skewed": _q_sessionize_skewed,
+        "user_profile_skewed": _q_user_profile_skewed,
+        # -- (2) oracle queries with no CORRECTNESS_r04 row ----------------
+        "weekly_profile": _q_weekly_profile,
+        "top_users_per_hour": _q_top_users_per_hour,
+        "data_expectations": _q_data_expectations,
+        "snapshot_diff": _q_snapshot_diff,
+        "user_profile": _q_user_profile,
+        "hourly_percentiles": _q_hourly_percentiles,
+        "hourly_pivot": _q_hourly_pivot,
+        "event_transitions": _q_event_transitions,
+        "series_corr_matrix": _q_series_corr_matrix,
+        "sessionize": _q_sessionize,
+        "quality_score": _q_quality_score,
+        "resample_linear": _q_resample_linear,
+        "conversation_stats_skew": _q_conversation_stats_skew,
+        # -- (3) rows-only (gate-asserted invariant columns; no SQL oracle,
+        #        driver records the weaker rows-only check) ----------------
+        "full_decomposition": _q_full_decomposition,
+        "translation_full": _q_translation_full,
+        "wavelet_betas_golden": _q_wavelet_betas_golden,
+        "wavelet_betas_sine": _q_wavelet_betas_sine,
+        "translation_search": _q_translation_search,
+        "dwt_energy": _q_dwt_energy,
+        "modwt_energy": _q_modwt_energy,
+        "gorilla_blocks": _q_gorilla_blocks,
+        "codec_roundtrip": _q_codec_roundtrip,
+        "ngram_jaccard_bounded": _q_ngram_jaccard_bounded,
+        "minhash_pairs": _q_minhash_pairs,
+        "simhash_near": _q_simhash_near,
+        "lsh_ann_topk": _q_lsh_ann_topk,
+        "ivf_ann_topk": _q_ivf_ann_topk,
+        "fft_spectrum": _q_fft_spectrum,
+        "reconstruction_roundtrip": _q_reconstruction_roundtrip,
+        "reconstruction_relational": _q_reconstruction_relational,
+        "heatmap_scales": _q_heatmap_scales,
+        "epn_approx": _q_epn_approx,
+        "sketch_quantiles": _q_sketch_quantiles,
+        "sketch_distinct": _q_sketch_distinct,
+        "lttb_downsample": _q_lttb_downsample,
+        "clustered_layout": _q_clustered_layout,
+        "spectral_features": _q_spectral_features,
+        "freq_items": _q_freq_items,
+        "multimodal_plan": _q_multimodal_plan,
+        "text_invariant": _q_text_invariant,
+        "transcript_rollup_1m": _q_transcript_rollup_1m,
+        "stream_sessionize_drain": _q_stream_sessionize_drain,
+        "stream_rollup_drain": _q_stream_rollup_drain,
+        "stream_ewma_drain": _q_stream_ewma_drain,
+        "stream_counter_rate_drain": _q_stream_counter_rate_drain,
+        "stream_dedup_drain": _q_stream_dedup_drain,
+        # -- (4) oracle queries driver-green in CORRECTNESS_r04 ------------
         "activity_1m": _q_activity_1m,
         "rollup_1h": _q_rollup_1h,
         "normalize_by_group": _q_normalize_by_group,
@@ -3175,53 +3347,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_strengths": _q_ts_strengths,
         "ts_period": _q_ts_period,
         "value_histogram": _q_value_histogram,
-        "weekly_profile": _q_weekly_profile,
-        "top_users_per_hour": _q_top_users_per_hour,
-        "data_expectations": _q_data_expectations,
-        "snapshot_diff": _q_snapshot_diff,
-        "user_profile": _q_user_profile,
-        "hourly_percentiles": _q_hourly_percentiles,
-        "hourly_pivot": _q_hourly_pivot,
-        "event_transitions": _q_event_transitions,
-        "series_corr_matrix": _q_series_corr_matrix,
-        "sessionize": _q_sessionize,
-        "quality_score": _q_quality_score,
-        "resample_linear": _q_resample_linear,
-        "conversation_stats_skew": _q_conversation_stats_skew,
-        # rows-only (no SQL oracle):
-        "epn_approx": _q_epn_approx,
-        "sketch_quantiles": _q_sketch_quantiles,
-        "sketch_distinct": _q_sketch_distinct,
-        "lttb_downsample": _q_lttb_downsample,
-        "clustered_layout": _q_clustered_layout,
-        "spectral_features": _q_spectral_features,
-        "freq_items": _q_freq_items,
-        "fft_spectrum": _q_fft_spectrum,
-        "reconstruction_roundtrip": _q_reconstruction_roundtrip,
-        "reconstruction_relational": _q_reconstruction_relational,
-        "heatmap_scales": _q_heatmap_scales,
-        "translation_search": _q_translation_search,
-        "translation_full": _q_translation_full,
-        "multimodal_plan": _q_multimodal_plan,
-        "lsh_ann_topk": _q_lsh_ann_topk,
-        "ivf_ann_topk": _q_ivf_ann_topk,
-        "text_invariant": _q_text_invariant,
-        "transcript_rollup_1m": _q_transcript_rollup_1m,
-        "dwt_energy": _q_dwt_energy,
-        "modwt_energy": _q_modwt_energy,
-        "gorilla_blocks": _q_gorilla_blocks,
-        "codec_roundtrip": _q_codec_roundtrip,
-        "ngram_jaccard_bounded": _q_ngram_jaccard_bounded,
-        "minhash_pairs": _q_minhash_pairs,
-        "simhash_near": _q_simhash_near,
-        "wavelet_betas_golden": _q_wavelet_betas_golden,
-        "wavelet_betas_sine": _q_wavelet_betas_sine,
-        "full_decomposition": _q_full_decomposition,
-        "stream_sessionize_drain": _q_stream_sessionize_drain,
-        "stream_rollup_drain": _q_stream_rollup_drain,
-        "stream_ewma_drain": _q_stream_ewma_drain,
-        "stream_counter_rate_drain": _q_stream_counter_rate_drain,
-        "stream_dedup_drain": _q_stream_dedup_drain,
     }
 
 
@@ -4257,6 +4382,58 @@ def oracle_sql() -> dict[str, str]:
                                  THEN CAST(round(value * 100) AS BIGINT)
                                  ELSE 0 END) AS BIGINT) AS spend_cents
             FROM events GROUP BY 1
+        """,
+        "user_profile_skewed": """
+            WITH ev AS (
+                SELECT CASE WHEN user_id % 5 = 0 THEN CAST(-1 AS BIGINT)
+                            ELSE user_id END AS user_id,
+                       ts, event_type, value
+                FROM events)
+            SELECT user_id,
+                   min(ts) AS first_seen,
+                   max(ts) AS last_seen,
+                   round(date_diff('microsecond', min(ts), max(ts))
+                         / 1000000.0, 6) AS tenure_s,
+                   count(DISTINCT CAST(ts AS DATE)) AS active_days,
+                   count(*) AS n_events,
+                   CAST(sum(CASE WHEN event_type = 'purchase'
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_purchases,
+                   CAST(sum(CASE WHEN event_type = 'error'
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_errors,
+                   CAST(sum(CASE WHEN event_type = 'purchase'
+                                 THEN CAST(round(value * 100) AS BIGINT)
+                                 ELSE 0 END) AS BIGINT) AS spend_cents
+            FROM ev GROUP BY 1
+        """,
+        "sessionize_skewed": """
+            WITH ev AS (
+                SELECT CASE WHEN user_id % 5 = 0 THEN CAST(-1 AS BIGINT)
+                            ELSE user_id END AS user_id,
+                       ts, event_id,
+                       CAST(round(value * 100) AS BIGINT) AS cents
+                FROM events),
+            ordered AS (
+                SELECT user_id, ts, event_id, cents,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                              OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                            THEN 1 ELSE 0 END AS new_s
+                FROM ev
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+            marked AS (
+                SELECT user_id, ts, cents,
+                       sum(new_s) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS s_idx
+                FROM ordered)
+            SELECT user_id,
+                   CAST(s_idx AS INT) AS session_idx,
+                   min(ts) AS session_start,
+                   max(ts) AS session_end,
+                   count(*) AS n_events,
+                   CAST(sum(cents) AS BIGINT) AS total_cents
+            FROM marked
+            GROUP BY user_id, s_idx
         """,
         "snapshot_diff": """
             WITH ev AS (SELECT event_id, user_id, value FROM events),

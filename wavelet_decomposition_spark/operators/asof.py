@@ -89,6 +89,13 @@ def asof_join(
         if tie_break is not None and tie_break not in right_cols
         else []
     )
+    # a null-timestamp reference row can never be "at or before" any probe:
+    # drop it BEFORE the union. Without this, ASC NULLS FIRST would sort it
+    # ahead of every row and last(ignorenulls=True) would carry its payload
+    # onto every probe as a phantom match whose matched-ts stays null.
+    # (Null-ts LEFT rows need no filter: they sort first, see no preceding
+    # right row, and come out unmatched — plain left-outer semantics.)
+    right = right.where(F.col(right_ts).isNotNull())
     r = right.select(
         *keys,
         F.unix_micros(F.col(right_ts).cast("timestamp")).alias(_TS_US),

@@ -86,12 +86,19 @@ def interval_join(
         return matched
     iv_cols = [c for c in intervals.columns if c != on]
     # value-semantics anti join: identical point rows match identically,
-    # so no row-identity tag is needed and duplicates are preserved
-    unmatched = points.join(
-        matched.select(*points.columns).distinct(),
-        points.columns,
-        "left_anti",
-    )
+    # so no row-identity tag is needed and duplicates are preserved.
+    # NULL-SAFE equality (<=>) throughout: a plain column-equality anti
+    # join never matches NULLs, so a matched point row carrying a NULL in
+    # any column (key, ts, or payload) would survive the anti join and be
+    # emitted a second time with null interval columns. <=> keys still
+    # plan as a hash/sort-merge equi-join, not a nested loop.
+    p = points.alias("_ij_p")
+    m = matched.select(*points.columns).distinct().alias("_ij_m")
+    cond = None
+    for c in points.columns:
+        e = p[c].eqNullSafe(m[c])
+        cond = e if cond is None else cond & e
+    unmatched = p.join(m, cond, "left_anti").select(*points.columns)
     for c, typ in zip(intervals.columns, intervals.schema.fields):
         if c != on:
             unmatched = unmatched.withColumn(

@@ -18,6 +18,8 @@
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
@@ -247,6 +249,7 @@ def cosine_allpairs_exact(
     vec_col: str = "embedding",
     threshold: float = 0.5,
     tile_rows: int = 2_000_000,
+    scratch_dir: str | None = None,
 ) -> DataFrame:
     """EXACT all-pairs cosine >= threshold — (id_a, id_b, cosine) with
     id_a < id_b. The verification oracle for the LSH-bucketed near-dup
@@ -263,61 +266,114 @@ def cosine_allpairs_exact(
     ~one fused multiply-add.
 
     Scale: exact all-pairs is inherently quadratic; the scalable structure
-    is TILING — when n > ``tile_rows`` the broadcast side is processed in
-    row tiles (outer loop inside the same single scan of the streamed
-    side), keeping the resident unit-row matrix at tile_rows*dim*8 bytes
-    regardless of corpus size. The streamed side is ALSO chunked so the
-    dense score block never exceeds ~64 MB (an Arrow batch of 10k rows
-    against an 80k-row tile would otherwise materialize a 6.4 GB float
-    block PER WORKER — measured swapping the whole host). Tiles re-use
-    one broadcast; the streamed side is scanned once. Beyond ~10^7 rows
-    use the LSH path and reserve this as the audit oracle on
-    samples/buckets.
+    is TILING, and the tiles live EXECUTOR-SIDE: the tile side is written
+    ONCE to scratch parquet with each file capped at ``tile_rows`` rows
+    (one file = one GEMM tile), and every task reads tile files itself
+    through pyarrow. The driver never materializes the corpus — it only
+    lists the tile file names — so there is no O(corpus) ``toPandas()``
+    anywhere in the lineage (there was through round 4; at 10^8+ rows the
+    driver transfer died before any tile ran). Per-task resident memory is
+    one tile (tile_rows*dim*8 bytes) + its own input partition; the score
+    block is cache-blocked at 512x1024 (4 MB) so a 10k-row batch against
+    an 80k-row tile never materializes a multi-GB float panel (measured
+    swapping the whole host in the unblocked form). Total tile-read IO is
+    side_bytes * n_tasks — the textbook blocked outer-product cost, the
+    price of exactness without a broadcast. Beyond ~10^7 rows use the LSH
+    path and reserve this as the audit oracle on samples/buckets.
+
+    ``scratch_dir``: where the tile parquet goes — must be reachable from
+    every executor (local path in local mode; a shared FS / object-store
+    URI on a cluster; anything ``pyarrow.fs.FileSystem.from_uri`` opens).
+    Defaults to a unique dir under the local tmpdir.
     """
-    spark = emb.sparkSession
     import pandas as pd
 
-    side = emb.select(id_col, vec_col).toPandas()
-    ids_b = side[id_col].to_numpy()
-    B = np.array(side[vec_col].tolist(), dtype=np.float64)
-    B = B / np.maximum(np.linalg.norm(B, axis=1, keepdims=True), 1e-30)
-    bc = spark.sparkContext.broadcast((ids_b, B))
+    spark = emb.sparkSession
+    if scratch_dir is None:
+        import tempfile
+        import uuid
+
+        scratch_dir = os.path.join(
+            tempfile.gettempdir(), f"wds_cosine_tiles_{uuid.uuid4().hex}"
+        )
+    (
+        emb.select(F.col(id_col).cast("bigint").alias(id_col), vec_col)
+        .write.mode("overwrite")
+        .option("maxRecordsPerFile", tile_rows)
+        .parquet(scratch_dir)
+    )
+
+    def _fs_and_path(p):
+        from pyarrow import fs as pafs
+
+        if "://" in p:
+            return pafs.FileSystem.from_uri(p)
+        return pafs.LocalFileSystem(), p
+
+    from pyarrow import fs as pafs
+
+    fsys, base = _fs_and_path(scratch_dir)
+    tile_files = sorted(
+        fi.path
+        for fi in fsys.get_file_info(pafs.FileSelector(base))
+        if fi.path.endswith(".parquet")
+    )
 
     def gen(batches):
-        ids_all, M = bc.value
-        for pdf in batches:
-            ida = pdf[id_col].to_numpy()
-            A = np.array(pdf[vec_col].tolist(), dtype=np.float64)
-            A = A / np.maximum(np.linalg.norm(A, axis=1, keepdims=True), 1e-30)
-            for lo in range(0, len(M), tile_rows):
-                T = M[lo:lo + tile_rows]
-                tid = ids_all[lo:lo + tile_rows]
-                # CACHE-blocked product: 512x1024 score blocks (4 MB) stay
-                # in cache instead of streaming an n_batch x n_tile float
-                # panel through DRAM — the unblocked form moves 16 bytes
-                # per pair and is bandwidth-bound (measured 3.7x slower
-                # single-core and it stops scaling with cores, 0.62
-                # N->4N efficiency vs compute-bound blocked form)
-                for alo in range(0, len(A), 512):
-                    Ab, ab_ids = A[alo:alo + 512], ida[alo:alo + 512]
-                    for tlo in range(0, len(T), 1024):
-                        S = Ab @ T[tlo:tlo + 1024].T
-                        ia, ib = np.nonzero(S >= threshold)
-                        if not len(ia):
-                            continue
-                        a_ids = ab_ids[ia]
-                        b_ids = tid[tlo:tlo + 1024][ib]
-                        keep = a_ids < b_ids
-                        if keep.any():
-                            yield pd.DataFrame({
-                                "id_a": a_ids[keep],
-                                "id_b": b_ids[keep],
-                                "cosine": S[ia[keep], ib[keep]],
-                            })
+        import pyarrow.parquet as pq
 
-    streamed = emb.select(id_col, vec_col).repartition(
-        spark.sparkContext.defaultParallelism
-    )
+        # materialize this task's partition once so each tile file is read
+        # once per TASK, not once per Arrow batch
+        id_parts, a_parts = [], []
+        for pdf in batches:
+            if len(pdf):
+                id_parts.append(pdf[id_col].to_numpy())
+                a_parts.append(np.array(pdf[vec_col].tolist(), dtype=np.float64))
+        if not a_parts:
+            return
+        ida = np.concatenate(id_parts)
+        A = np.vstack(a_parts)
+        A = A / np.maximum(np.linalg.norm(A, axis=1, keepdims=True), 1e-30)
+        tfs, _ = _fs_and_path(scratch_dir)
+        for fp in tile_files:
+            t = pq.read_table(fp, columns=[id_col, vec_col], filesystem=tfs)
+            if t.num_rows == 0:
+                continue
+            tid = t[id_col].to_numpy()
+            flat = (
+                t[vec_col].combine_chunks().flatten()
+                .to_numpy(zero_copy_only=False)
+            )
+            T = np.ascontiguousarray(flat, dtype=np.float64).reshape(
+                t.num_rows, -1
+            )
+            T = T / np.maximum(np.linalg.norm(T, axis=1, keepdims=True), 1e-30)
+            # CACHE-blocked product: 512x1024 score blocks (4 MB) stay in
+            # cache instead of streaming an n_batch x n_tile float panel
+            # through DRAM — the unblocked form moves 16 bytes per pair
+            # and is bandwidth-bound (measured 3.7x slower single-core and
+            # it stops scaling with cores, 0.62 N->4N efficiency vs the
+            # compute-bound blocked form)
+            for alo in range(0, len(A), 512):
+                Ab, ab_ids = A[alo:alo + 512], ida[alo:alo + 512]
+                for tlo in range(0, len(T), 1024):
+                    S = Ab @ T[tlo:tlo + 1024].T
+                    ia, ib = np.nonzero(S >= threshold)
+                    if not len(ia):
+                        continue
+                    a_ids = ab_ids[ia]
+                    b_ids = tid[tlo:tlo + 1024][ib]
+                    keep = a_ids < b_ids
+                    if keep.any():
+                        yield pd.DataFrame({
+                            "id_a": a_ids[keep],
+                            "id_b": b_ids[keep],
+                            "cosine": S[ia[keep], ib[keep]],
+                        })
+
+    streamed = emb.select(
+        F.col(id_col).cast("bigint").alias(id_col), vec_col
+    ).repartition(spark.sparkContext.defaultParallelism)
     return streamed.mapInPandas(
         gen, schema="id_a bigint, id_b bigint, cosine double"
     )

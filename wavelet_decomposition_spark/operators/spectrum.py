@@ -27,8 +27,7 @@ def fft_spectrum(
     group_cols = list(group_cols)
     out_schema = (
         ", ".join(
-            f"{c} string" if c == group_cols[0] else f"{c} int"
-            for c in group_cols
+            f"{c} {df.schema[c].dataType.simpleString()}" for c in group_cols
         )
         + ", freq_idx int, magnitude double"
     )
@@ -65,8 +64,13 @@ def spectral_features(
     kernel discipline as :func:`fft_spectrum`); per-group length is
     bounded by the retention tier."""
     group_cols = list(group_cols)
+    # derive each group column's type from the input schema (the ewma /
+    # brown_les pattern) — hardcoding string would fail or silently coerce
+    # at the Arrow boundary for e.g. ('series_id', 'year') groupings
     out_schema = (
-        ", ".join(f"{c} string" for c in group_cols)
+        ", ".join(
+            f"{c} {df.schema[c].dataType.simpleString()}" for c in group_cols
+        )
         + ", n int, spectral_entropy double, peak_freq_idx int,"
         + " peak_share double, energy_time double, energy_spec double"
     )

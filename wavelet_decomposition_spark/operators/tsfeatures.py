@@ -404,7 +404,7 @@ def m4_downsample(
     return (
         series.groupBy(group_col, b)
         .agg(
-            F.min_by(v, t).alias("first_v"),
+            F.min_by(v, F.struct(t, v)).alias("first_v"),
             F.max_by(v, F.struct(t, v)).alias("last_v"),
             F.min(v).alias("min_v"),
             F.max(v).alias("max_v"),
