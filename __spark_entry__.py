@@ -1521,7 +1521,16 @@ def _q_freq_items(spark, sf_dir):
     implementation may legitimately miss, and asserting it would
     red-gate correct code. If no item clears the guarantee threshold at
     this scale, one sentinel row documents that honestly instead of
-    failing the gate on an empty result."""
+    failing the gate on an empty result.
+
+    PRODUCTION CONTRACT: the exact pre-aggregate below exists ONLY to
+    parameterize the gate's invariant (it computes the true counts the
+    sketch is checked against — computing the exact answer to pick the
+    support would defeat the sketch in production). The scale path picks
+    the support A PRIORI from the question being asked ("items above
+    0.1% of traffic" => support=0.001, k=1000 counters) and runs the
+    single ``df.freqItems(cols, support)`` sketch pass alone — one scan,
+    k counters per partition, no exact pre-pass."""
     _prep(spark)
     ev = _events(spark, sf_dir).select("user_id")
     exact = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_exact"))

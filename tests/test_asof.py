@@ -194,3 +194,40 @@ def test_asof_plan_shape_no_tiebreak(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert plan.count("Exchange") == 1, plan
+
+
+def test_null_timestamps_never_match(spark):
+    # a null-ts RIGHT row can never be "at or before" any probe: pre-fix,
+    # ASC NULLS FIRST sorted it ahead of everything and last(ignorenulls)
+    # carried its payload onto every probe as a phantom match (round-4
+    # advisory). Null-ts LEFT rows come out unmatched, payload intact.
+    left = pd.DataFrame(
+        {
+            "k": np.int64([1, 1]),
+            "ts": pd.to_datetime([100, None], unit="s"),
+            "probe_id": np.int64([0, 1]),
+        }
+    )
+    right = pd.DataFrame(
+        {
+            "k": np.int64([1, 1]),
+            "ts": pd.to_datetime([None, 60], unit="s"),
+            "quote": [666.0, 5.0],
+        }
+    )
+    out = (
+        asof_join(
+            spark.createDataFrame(left),
+            spark.createDataFrame(right),
+            on="k",
+            right_cols=["quote"],
+        )
+        .toPandas()
+        .set_index("probe_id")
+    )
+    # the valid quote (ts=60) matches; the null-ts quote never appears
+    assert out.loc[0, "quote_asof"] == 5.0
+    assert not (out.quote_asof == 666.0).any()
+    # null-ts probe: kept, unmatched
+    assert pd.isna(out.loc[1, "quote_asof"])
+    assert pd.isna(out.loc[1, "ts_asof"])

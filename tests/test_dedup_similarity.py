@@ -252,3 +252,48 @@ def test_auto_banding_recall_guarantee_property():
             pass
 
     check()
+
+
+def test_cosine_allpairs_exact_matches_numpy_and_never_collects(spark, monkeypatch):
+    """The exact all-pairs GEMM oracle must (a) agree with a numpy brute
+    force, (b) run with NO driver-side collect anywhere in its lineage —
+    through round 4 it toPandas()'d one full side, which dies at 10^8+
+    rows before any tile runs. toPandas is poisoned for the whole build +
+    execute; tiles stream executor-side from scratch parquet."""
+    from pyspark.sql import DataFrame
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    pdf = emb.select("vec_id", "embedding").toPandas()  # test-side oracle only
+
+    def _poisoned(self, *a, **k):
+        raise AssertionError("driver-side toPandas() in operator lineage")
+
+    monkeypatch.setattr(DataFrame, "toPandas", _poisoned)
+    got = (
+        similarity.cosine_allpairs_exact(emb, threshold=0.8, tile_rows=40)
+        .collect()
+    )
+    monkeypatch.undo()
+    ids = pdf["vec_id"].to_numpy()
+    M = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+    M = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-30)
+    S = M @ M.T
+    ia, ib = np.nonzero(S >= 0.8)
+    want = {
+        (int(ids[a]), int(ids[b]))
+        for a, b in zip(ia, ib)
+        if ids[a] < ids[b]
+    }
+    have = {(r.id_a, r.id_b) for r in got}
+    assert have == want
+    for r in got:
+        a = int(np.nonzero(ids == r.id_a)[0][0])
+        b = int(np.nonzero(ids == r.id_b)[0][0])
+        assert abs(r.cosine - S[a, b]) < 1e-12
+
+
+def test_cosine_allpairs_exact_empty_input(spark):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").where(F.lit(False))
+    out = similarity.cosine_allpairs_exact(emb, threshold=0.5)
+    assert out.count() == 0
+    assert out.columns == ["id_a", "id_b", "cosine"]

@@ -187,3 +187,41 @@ def test_plan_is_equi_join(spark):
     assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) or (
         "BroadcastHashJoin" in plan
     )
+
+
+def test_left_join_null_payload_not_duplicated(spark):
+    # a MATCHED point row carrying a NULL in a payload column must not be
+    # re-emitted as unmatched: plain column-equality anti joins never match
+    # NULLs, so the pre-fix code emitted it twice (round-4 advisory). The
+    # null-safe (<=>) anti join keeps value semantics for duplicates while
+    # treating NULL as equal to NULL.
+    points = pd.DataFrame(
+        {
+            "k": np.int64([1, 1, 2]),
+            "ts": pd.to_datetime(
+                [1_700_000_100, 1_700_000_100, 1_700_000_100], unit="s"
+            ),
+            "payload": [None, 7.5, None],
+        }
+    )
+    intervals = pd.DataFrame(
+        {
+            "k": np.int64([1]),
+            "start_ts": pd.to_datetime([1_700_000_000], unit="s"),
+            "end_ts": pd.to_datetime([1_700_000_200], unit="s"),
+            "iv_id": np.int64([0]),
+        }
+    )
+    got = interval_join(
+        spark.createDataFrame(points),
+        spark.createDataFrame(intervals),
+        on="k",
+        how="left",
+    ).toPandas()
+    # k=1 rows (one with null payload) matched exactly once each;
+    # k=2 (null payload, no interval) exactly once, unmatched
+    assert len(got) == 3
+    k1 = got[got.k == 1]
+    assert len(k1) == 2 and (k1.iv_id == 0).all()
+    k2 = got[got.k == 2]
+    assert len(k2) == 1 and k2.iv_id.isna().all()

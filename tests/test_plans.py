@@ -188,3 +188,111 @@ def test_no_undesigned_nested_loop_joins_anywhere(spark):
         if n and name not in DESIGNED_BNL:
             offenders[name] = n
     assert not offenders, offenders
+
+
+def test_skewed_profile_partial_aggregation(spark, queries):
+    """user_profile_skewed plants ~20% of events on one key; the agg stays
+    exact and fast because the hot key is pre-combined map-side — the
+    two-level HashAggregate must be present, and the scan must not read
+    the wide props column."""
+    plan = _plan(queries["user_profile_skewed"](spark, SF_DIR))
+    assert plan.count("HashAggregate") >= 2
+    read = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
+    assert "props" not in read
+
+
+def test_aqe_skew_join_split_engages(spark, tmp_path):
+    """The 100x-scale behavior none of the uniform fixtures exercises:
+    plant the ~20%-hot-key skew on a shuffle join and assert AQE's
+    skew-join optimization actually SPLITS the hot partition (the
+    executed SortMergeJoin is marked skew=true) while the result stays
+    exact. Thresholds are lowered to make the gate-scale fixture look
+    like the 100-TB shape; on a real cluster the defaults (256 MB)
+    engage the same rewrite.
+
+    Two structural preconditions this test documents (both bit us):
+    - a skewed reducer partition is split by MAPPER ranges, so the
+      upstream stage needs >1 map task — a single small parquet file
+      scans as one task and nothing can split (hence repartition(16));
+    - OptimizeSkewedJoin pattern-matches SMJ(Sort(ShuffleStage),
+      Sort(ShuffleStage)) EXACTLY — an aggregate between the right
+      shuffle and the sort blocks the rewrite, so the dim side is
+      materialized to parquet first (on a real pipeline the dim is a
+      table already)."""
+    from pyspark.sql import functions as F
+
+    ev = (
+        spark.read.parquet(f"{SF_DIR}/events.parquet")
+        .repartition(16)
+        .withColumn(
+            "user_id",
+            F.when(F.col("user_id") % 5 == 0, F.lit(-1).cast("bigint"))
+            .otherwise(F.col("user_id")),
+        )
+    )
+    dim_path = str(tmp_path / "dim")
+    ev.groupBy("user_id").count().write.parquet(dim_path)
+    dim = spark.read.parquet(dim_path)
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "8KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8KB",
+        "spark.sql.shuffle.partitions": "8",
+    }
+    old = {}
+    for k in confs:
+        try:
+            old[k] = spark.conf.get(k)
+        except Exception:
+            old[k] = None
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        # the executed plan must be read from the SAME QueryExecution the
+        # action ran (df.count()/df.write plan a fresh Dataset, leaving
+        # j's own adaptive plan isFinalPlan=false with no skew marks), so
+        # collect through an aggregate DataFrame and inspect THAT one.
+        # The aggregate reads props so column pruning can't shrink the
+        # shuffled rows to a lone bigint (which would drop the hot
+        # partition below the skew threshold and merely coalesce).
+        jc = (
+            ev.join(dim, "user_id")
+            .groupBy()
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.length("props")).alias("b"),
+            )
+        )
+        row = jc.collect()[0]
+        plan = jc._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan[:2000]
+        assert row["n"] == ev.count()  # every key in dim: no row lost
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
+def test_shuffle_bytes_pinned_thresholds(spark, queries):
+    """Volume regression pins (plan-audit's systematic check, frozen here
+    for two representative queries): exchange counts can stay flat while
+    per-row shuffle payload balloons (round 3: shuffling raw string
+    shingle arrays instead of 8-byte hashes tripled bytes with an
+    identical plan shape). Bounds are ~2x the measured sf0.01 volume."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from tools.plan_audit import run_query_measured
+
+    w, r, _ = run_query_measured(
+        spark, "pin_minhash", queries["minhash_pairs"](spark, SF_DIR)
+    )
+    assert w < 120 * 1024 * 1024, f"minhash_pairs shuffle write {w}"
+    w2, r2, _ = run_query_measured(
+        spark, "pin_activity", queries["activity_1m"](spark, SF_DIR)
+    )
+    assert w2 < 8 * 1024 * 1024, f"activity_1m shuffle write {w2}"

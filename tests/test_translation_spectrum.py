@@ -250,3 +250,44 @@ def test_spectral_features_numpy_parity_and_extremes(spark):
     # Parseval energies agree for all three
     rel = (out.energy_time - out.energy_spec).abs() / out.energy_time
     assert (rel < 1e-9).all()
+
+
+def test_spectral_features_non_string_group_cols(spark):
+    """Group-column types must be derived from the input schema — the
+    pre-fix hardcoded '<col> string' schema broke ('series_id', 'year')
+    groupings at the Arrow boundary (round-4 advisory). Same check for
+    fft_spectrum's (string, int) convention with swapped types."""
+    import numpy as np
+    import pandas as pd
+
+    from wavelet_decomposition_spark.operators.spectrum import (
+        fft_spectrum,
+        spectral_features,
+    )
+
+    n = 64
+    ts = pd.date_range("2024-01-01", periods=n, freq="h")
+    pdf = pd.concat(
+        [
+            pd.DataFrame(
+                {"series_id": 7, "year": 2024, "bucket_ts": ts,
+                 "v": np.sin(np.arange(n))}
+            ),
+            pd.DataFrame(
+                {"series_id": 8, "year": 2025, "bucket_ts": ts,
+                 "v": np.cos(np.arange(n))}
+            ),
+        ]
+    )
+    df = spark.createDataFrame(pdf)  # series_id/year infer as bigint
+    out = spectral_features(
+        df, value_col="v", group_cols=("series_id", "year"),
+        ts_col="bucket_ts",
+    ).toPandas()
+    assert sorted(out["series_id"]) == [7, 8]
+    assert out["series_id"].dtype.kind == "i"
+    spec = fft_spectrum(
+        df, value_col="v", group_cols=("series_id", "year"), ts_col="bucket_ts"
+    ).toPandas()
+    assert set(spec["series_id"]) == {7, 8}
+    assert spec["series_id"].dtype.kind == "i"

@@ -527,3 +527,24 @@ def test_period_detector_prefers_fundamental_over_harmonic(spark):
     # and the naive argmax really does pick the harmonic (the trap)
     naive = a.orderBy(F.col("acf_r").desc(), F.col("lag").asc()).first()
     assert naive["lag"] == 34
+
+
+def test_m4_first_tie_break_is_deterministic(spark):
+    # two points share the EARLIEST timestamp in the bucket: first_v must
+    # be the smaller value (struct (ts, v) min ordering), independent of
+    # input order — pre-fix min_by(v, t) left it partitioning-dependent
+    # (round-4 advisory)
+    from datetime import datetime
+
+    rows = [
+        ("s", datetime(2024, 1, 1, 0, 10), 9.0),
+        ("s", datetime(2024, 1, 1, 0, 10), 3.0),
+        ("s", datetime(2024, 1, 1, 0, 40), 4.0),
+    ]
+    for perm in ([0, 1, 2], [2, 1, 0], [1, 2, 0]):
+        df = spark.createDataFrame(
+            [rows[i] for i in perm],
+            "series_id string, bucket_ts timestamp, v double",
+        ).repartition(3)
+        got = m4_downsample(df, value_col="v", bucket="1 hour").collect()[0]
+        assert got["first_v"] == 3.0 and got["last_v"] == 4.0
