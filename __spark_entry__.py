@@ -1561,6 +1561,77 @@ def _q_freq_items(spark, sf_dir):
     return out
 
 
+def _q_cms_heavy_hitters(spark, sf_dir):
+    """Count-min-sketch heavy hitters (operators/cms.py) — the a-priori-
+    support production path the `freq_items` contract points to: one
+    Arrow pass folds each partition into a d x w CMS + exact local top-k,
+    the only shuffle moves sketch cells (bounded by partitions x d*w,
+    independent of input rows), and estimation is a relational min-join.
+    Run over the planted ~20%-hot-key skew (`_skewed_events`, support
+    5%). Rows-only but SELF-VERIFYING via the operator's two provable
+    guarantees, each gate-asserted per row: ``no_undercount_ok``
+    (estimate >= exact: CMS counters only add collision mass) and
+    ``band_ok`` (overcount within 5x the expected n/width collision
+    mass); plus ``superset_ok`` = every truly-hot key (exact count >=
+    support*n, computed by an exact group-by that exists ONLY to check
+    the sketch) appears in the output — the pigeonhole local-top-k
+    guarantee. The exact aggregates here are gate instrumentation; the
+    production path is the sketch alone."""
+    _prep(spark)
+    from pyspark.sql import Window
+
+    from wavelet_decomposition_spark.operators.cms import cms_heavy_hitters
+
+    support, width = 0.05, 8192
+    ev = _skewed_events(spark, sf_dir)
+    hh = cms_heavy_hitters(
+        ev, "user_id", support=support, depth=4, width=width
+    ).withColumn("user_id", F.col("key").cast("bigint"))
+    # exact counts for the FOUND keys only — filter-before-shuffle
+    exact_cand = (
+        ev.join(F.broadcast(hh.select("user_id")), "user_id")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("exact_cnt"))
+    )
+    # true hot-set size (full exact group-by: gate-scale check only)
+    n_tot = hh.agg(F.max("n_total").alias("_n"))
+    n_hot_exact = (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .crossJoin(F.broadcast(n_tot))
+        .filter(F.col("_c") >= F.lit(support) * F.col("_n"))
+        .agg(F.count(F.lit(1)).alias("n_hot_exact"))
+    )
+    w_all = Window.partitionBy(F.lit(1))
+    return (
+        hh.join(exact_cand, "user_id")
+        .crossJoin(F.broadcast(n_hot_exact))
+        .select(
+            "user_id",
+            "estimate",
+            "exact_cnt",
+            "n_total",
+            (F.col("estimate") >= F.col("exact_cnt")).alias(
+                "no_undercount_ok"
+            ),
+            (
+                F.col("estimate")
+                <= F.col("exact_cnt") + 5.0 * F.col("n_total") / width
+            ).alias("band_ok"),
+            (
+                F.sum(
+                    (
+                        F.col("exact_cnt")
+                        >= F.lit(support) * F.col("n_total")
+                    ).cast("int")
+                ).over(w_all)
+                == F.col("n_hot_exact")
+            ).alias("superset_ok"),
+        )
+        .orderBy("user_id")
+    )
+
+
 def _q_hourly_pivot(spark, sf_dir):
     """Wide-format hourly matrix via the pivot surface
     (`groupBy().pivot(values=...)`): one count column per event type —
@@ -3256,6 +3327,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": _q_lang_id,
         "sessionize_skewed": _q_sessionize_skewed,
         "user_profile_skewed": _q_user_profile_skewed,
+        "cms_heavy_hitters": _q_cms_heavy_hitters,
         # -- (2) oracle queries with no CORRECTNESS_r04 row ----------------
         "weekly_profile": _q_weekly_profile,
         "top_users_per_hour": _q_top_users_per_hour,

@@ -184,6 +184,9 @@ def main():
         # deterministic hash-split
         "asof_join", "gapfill_interp", "dedup_clusters", "decontaminate",
         "stratified_split",
+        # round-5: CMS heavy hitters over the planted-skew events (the
+        # a-priori-support production path of the freq_items contract)
+        "cms_heavy_hitters",
         # ts-analytics pack: rolling stats (exact-integer window sums),
         # EWMA (Arrow pandas recurrence), ACF (explode+join, no per-lag
         # sorts), M4 pixel downsampling, median/MAD anomalies, CUSUM

@@ -66,6 +66,8 @@ DESIGNED_BNL = {
     "stream_dedup_drain",
     # 1-row broadcast fixture-accuracy invariant join (no equi-key exists)
     "lang_id",
+    # 1-row broadcast n_total / n_hot_exact invariant joins
+    "cms_heavy_hitters",
 }
 
 
