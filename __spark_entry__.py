@@ -411,13 +411,20 @@ def _q_pricing_summary(spark, sf_dir):
 
 
 def _q_nation_revenue(spark, sf_dir):
-    """J2 — broadcast dimension joins (orders -> customer -> nation)."""
+    """J2 — dimension joins (orders -> customer -> nation). Broadcast
+    discipline, learned from the 10x robustness run (BENCH.md): nation is
+    FIXED-cardinality (25 rows forever) and is pinned broadcast; customer
+    SCALES with the fact table (15k at sf0.1, 15M at sf100 — a pinned
+    broadcast OOMs the driver at scale and its single-threaded build cost
+    already dominated the sf1.0 wall), so that join is left to AQE, which
+    broadcasts it at runtime exactly while the measured size stays under
+    threshold and shuffle-joins beyond."""
     _prep(spark)
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
     customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
     nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
     return (
-        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
         .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
         .groupBy("n_name")
         .agg(
@@ -459,7 +466,9 @@ def _q_shipping_priority(spark, sf_dir):
         )
     )
     return (
-        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        # cust scales with sf (even segment-filtered) — broadcast is AQE's
+        # runtime call from the measured size, not a pin (see nation_revenue)
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
         .join(li, orders.o_orderkey == li.l_orderkey)
         .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
         .agg((F.sum("_rev4") / 10_000.0).alias("revenue"))
@@ -500,7 +509,9 @@ def _q_returned_customers(spark, sf_dir):
     )
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        # cust scales with sf — AQE's runtime call (see nation_revenue);
+        # nation is fixed-cardinality and stays pinned
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(

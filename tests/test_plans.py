@@ -39,6 +39,12 @@ def test_filter_pushdown_and_column_pruning(spark, queries):
 
 
 def test_dimension_joins_broadcast(spark, queries):
+    """nation (25 rows, fixed forever) is pinned broadcast; customer
+    SCALES with sf, so its join is deliberately NOT pinned — at gate
+    scale AQE/Catalyst still picks broadcast from the measured size, and
+    at 100 TB the same plan degrades gracefully to a shuffle join
+    instead of OOMing the driver (the 10x run showed the pinned
+    broadcast's single-threaded build dominating the wall)."""
     plan = _plan(queries["nation_revenue"](spark, SF_DIR))
     # formatted explain prints each node in the tree and the detail section
     assert plan.count("BroadcastHashJoin") >= 2
