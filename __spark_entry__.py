@@ -3275,6 +3275,63 @@ def _q_stream_dedup_drain(spark, sf_dir):
     )
 
 
+def _q_stream_distinct_drain(spark, sf_dir):
+    """Streaming windowed cardinality (streaming/facade.py
+    stream_distinct_1m): per 1-minute window, HLL++ approx distinct
+    conversations under a watermark — fixed-size register state per
+    window where an exact streaming countDistinct would hold per-key
+    state unbounded in the conversation count. Invariants ride per
+    emitted window: ``sketch_exact_ok`` = the streamed HLL value equals
+    the BATCH approx_count_distinct over the same rows bit-for-bit (HLL
+    merge is per-register max — order-insensitive, so streaming
+    incremental merge and batch one-shot must agree exactly), and
+    ``band_ok`` = the sketch lands within 5*rsd of the exact distinct
+    count. Append-mode emission subset semantics as in the other drains
+    (emitted ⊆ batch; >0 windows)."""
+    _prep(spark)
+    import shutil
+    import tempfile
+
+    from wavelet_decomposition_spark.io.transcripts import transcripts_df
+    from wavelet_decomposition_spark.streaming.facade import stream_distinct_1m
+
+    base = f"{tempfile.gettempdir()}/wds_stream_distinct_drain"
+    shutil.rmtree(base, ignore_errors=True)
+    in_path, out_path, ckpt = f"{base}/in", f"{base}/out", f"{base}/ckpt"
+    tx = transcripts_df(spark, 200, seed=42)
+    tx.write.mode("overwrite").parquet(in_path)
+    stream_distinct_1m(spark, in_path, out_path, ckpt).awaitTermination(300)
+
+    streamed = spark.read.parquet(out_path)
+    batch = (
+        spark.read.parquet(in_path)
+        .groupBy(F.window("ts", "1 minute").alias("w"))
+        .agg(
+            F.approx_count_distinct("conv_id", 0.02).alias("b_approx"),
+            F.countDistinct("conv_id").alias("b_exact"),
+        )
+        .select(F.col("w.start").alias("bucket_ts"), "b_approx", "b_exact")
+    )
+    j = streamed.join(batch, "bucket_ts", "left")
+    return j.select(
+        "bucket_ts",
+        "approx_convs",
+        "b_approx",
+        "b_exact",
+        (F.col("approx_convs") == F.col("b_approx")).alias(
+            "sketch_exact_ok"
+        ),
+        (
+            # 5*rsd relative band with an absolute floor of 2: the rsd
+            # guarantee is asymptotic — a 3-conversation window can read 2
+            # (one register collision) while being exactly what the batch
+            # sketch says (sketch_exact_ok pins that equality separately)
+            F.abs(F.col("approx_convs") - F.col("b_exact"))
+            <= F.greatest(5 * 0.02 * F.col("b_exact"), F.lit(2.0))
+        ).alias("band_ok"),
+    )
+
+
 def _q_stream_rollup_drain(spark, sf_dir):
     """Streaming 1m-tier facade, driver-exposed: availableNow drain of a
     transcript snapshot through stream_rollup_1m, then an exact comparison
@@ -3394,6 +3451,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_ewma_drain": _q_stream_ewma_drain,
         "stream_counter_rate_drain": _q_stream_counter_rate_drain,
         "stream_dedup_drain": _q_stream_dedup_drain,
+        "stream_distinct_drain": _q_stream_distinct_drain,
         # -- (4) oracle queries driver-green in CORRECTNESS_r04 ------------
         "activity_1m": _q_activity_1m,
         "rollup_1h": _q_rollup_1h,

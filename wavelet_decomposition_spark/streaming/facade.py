@@ -60,6 +60,51 @@ def stream_rollup_1m(
     )
 
 
+def stream_distinct_1m(
+    spark: SparkSession,
+    input_path: str,
+    output_path: str,
+    checkpoint_path: str,
+    watermark: str = "10 minutes",
+    rsd: float = 0.02,
+):
+    """Streaming windowed cardinality: per 1-minute tumbling window, the
+    approximate number of distinct conversations (HLL++) plus the exact
+    turn count — the streaming twin of the batch `sketch_distinct` family.
+
+    Why a sketch and not countDistinct: streaming distinct-per-window
+    needs per-window per-key state (unbounded in the key); the HLL++
+    register array is FIXED-size state per window and merges by per-
+    register max — order-insensitive, so the streaming result is
+    bit-identical to the batch aggregate over the same rows, which the
+    driver drain asserts exactly. Watermark bounds how long a window's
+    registers live; at 10^12 turns/day state is windows-in-horizon x
+    sketch size, independent of conversation count."""
+    stream = (
+        spark.readStream.schema(TRANSCRIPT_SCHEMA)
+        .parquet(input_path)
+        .withWatermark("ts", watermark)
+    )
+    agg = (
+        stream.groupBy(F.window("ts", "1 minute").alias("w"))
+        .agg(
+            F.approx_count_distinct("conv_id", rsd).alias("approx_convs"),
+            F.count(F.lit(1)).alias("turns"),
+        )
+        .select(
+            F.col("w.start").alias("bucket_ts"), "approx_convs", "turns"
+        )
+    )
+    return (
+        agg.writeStream.format("parquet")
+        .option("path", output_path)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def stream_dedup(
     spark: SparkSession,
     input_path: str,
