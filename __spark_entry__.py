@@ -1174,6 +1174,77 @@ def _q_strip_html(spark, sf_dir):
     return strip_html(planted)
 
 
+def _q_doc_chunks(spark, sf_dir):
+    """Fixed-length overlapping character chunking (textclean.py
+    chunk_documents) — the context-window prep step of a training
+    pipeline: chunk i covers [i*350, i*350+400), consecutive chunks
+    overlap by 50 chars, empty docs produce no chunks. Pure JVM
+    (sequence + posexplode + substring, no shuffle); the DuckDB oracle is
+    the equivalent lateral generate_series, so every chunk boundary and
+    chunk text is value-checked cross-engine."""
+    _prep(spark)
+    from wavelet_decomposition_spark.operators.textclean import (
+        chunk_documents,
+    )
+
+    return chunk_documents(
+        _docs(spark, sf_dir), chunk_len=400, stride=350
+    )
+
+
+def _q_pack_sequences(spark, sf_dir):
+    """Greedy sequence packing (sampling.py pack_sequences): every doc
+    assigned to a 512-token training bin, metadata-only (16 bytes/doc
+    rides the shuffle, text never moves), per-group first-fit-decreasing
+    so the result is deterministic under any physical partitioning.
+    Rows-only with the packing CONTRACT riding as invariants:
+    ``budget_ok`` = every multi-doc bin's token sum <= 512 (oversize docs
+    sit alone, never truncated), ``coverage_ok`` = every input doc
+    packed exactly once with total tokens conserved, ``efficiency_ok`` =
+    total_tokens / (n_bins * budget) >= 0.5 (FFD fills bins; a packer
+    that opened a bin per doc would score ~0.11 on this corpus)."""
+    _prep(spark)
+    from pyspark.sql import Window
+
+    from wavelet_decomposition_spark.operators.sampling import pack_sequences
+    from wavelet_decomposition_spark.operators.textstats import token_count
+
+    budget = 512
+    docs = _docs(spark, sf_dir)
+    packed = pack_sequences(docs, budget=budget, n_parts=8)
+    w = Window.partitionBy("bin_id")
+    w_all = Window.partitionBy(F.lit(1))
+    expect = docs.agg(
+        F.count(F.lit(1)).alias("n_docs_in"),
+        F.sum(token_count(F.col("text"))).alias("tok_in"),
+    )
+    return (
+        packed.withColumn("bin_tokens", F.sum("n_tokens").over(w))
+        .withColumn("bin_docs", F.count(F.lit(1)).over(w))
+        .crossJoin(F.broadcast(expect))
+        .select(
+            "doc_id",
+            "n_tokens",
+            "bin_id",
+            "bin_tokens",
+            (
+                (F.col("bin_tokens") <= budget) | (F.col("bin_docs") == 1)
+            ).alias("budget_ok"),
+            (
+                (F.count(F.lit(1)).over(w_all) == F.col("n_docs_in"))
+                & (F.sum("n_tokens").over(w_all) == F.col("tok_in"))
+            ).alias("coverage_ok"),
+            (
+                F.sum("n_tokens").over(w_all)
+                >= 0.5
+                * budget
+                * F.size(F.collect_set("bin_id").over(w_all))
+            ).alias("efficiency_ok"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def _q_repetition_ratio(spark, sf_dir):
     """Intra-doc 3-gram repetition quality signal: repeated-gram fraction
     and single-most-frequent-gram share; one explode + one count
@@ -3402,6 +3473,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize_skewed": _q_sessionize_skewed,
         "user_profile_skewed": _q_user_profile_skewed,
         "cms_heavy_hitters": _q_cms_heavy_hitters,
+        "doc_chunks": _q_doc_chunks,
+        "pack_sequences": _q_pack_sequences,
         # -- (2) oracle queries with no CORRECTNESS_r04 row ----------------
         "weekly_profile": _q_weekly_profile,
         "top_users_per_hour": _q_top_users_per_hour,
@@ -4183,6 +4256,22 @@ def oracle_sql() -> dict[str, str]:
                        '\\+?[0-9][0-9()\\s.-]{6,}[0-9]')) AS INT)
                        AS n_phones
             FROM s2
+        """,
+        "doc_chunks": """
+            SELECT doc_id,
+                   CAST(start / 350 AS INT) AS chunk_idx,
+                   CAST(start AS INT) AS chunk_start,
+                   substr(text, CAST(start AS INT) + 1, 400) AS chunk_text
+            FROM (
+                SELECT doc_id, text,
+                       unnest(generate_series(
+                           0,
+                           CAST(floor((length(text) - 1) / 350) * 350
+                                AS BIGINT),
+                           350)) AS start
+                FROM documents
+                WHERE length(text) > 0
+            )
         """,
         "strip_html": """
             WITH planted AS (

@@ -185,8 +185,9 @@ def main():
         "asof_join", "gapfill_interp", "dedup_clusters", "decontaminate",
         "stratified_split",
         # round-5: CMS heavy hitters over the planted-skew events (the
-        # a-priori-support production path of the freq_items contract)
-        "cms_heavy_hitters",
+        # a-priori-support production path of the freq_items contract),
+        # plus the context-window prep pair (chunking + sequence packing)
+        "cms_heavy_hitters", "doc_chunks", "pack_sequences",
         # ts-analytics pack: rolling stats (exact-integer window sums),
         # EWMA (Arrow pandas recurrence), ACF (explode+join, no per-lag
         # sorts), M4 pixel downsampling, median/MAD anomalies, CUSUM

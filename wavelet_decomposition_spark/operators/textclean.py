@@ -113,3 +113,48 @@ def repetition_ratio(
         (F.lit(1.0) - F.count(F.lit(1)) / F.sum("c")).alias("dup_ratio"),
         (F.max("c") / F.sum("c")).alias("top_gram_frac"),
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    chunk_len: int = 400,
+    stride: int = 350,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split each document into fixed-length overlapping character chunks
+    (the context-window prep step of a training pipeline): chunk i covers
+    ``[i*stride, i*stride + chunk_len)``, so consecutive chunks overlap by
+    ``chunk_len - stride`` characters and every character is covered.
+    Documents with empty/null text produce no chunks.
+
+    Scale shape: pure JVM — one ``sequence``/``posexplode`` per doc and a
+    substring, no Python, no shuffle; output rows ~ total_chars / stride.
+    The equivalent SQL (a lateral ``generate_series``) is the driver
+    query's DuckDB oracle, so chunk boundaries are value-checked
+    cross-engine.
+    """
+    if stride <= 0 or chunk_len < stride:
+        raise ValueError("need 0 < stride <= chunk_len")
+    last = (
+        F.floor((F.length(F.col(text_col)) - 1) / stride).cast("int")
+        * stride
+    )
+    return (
+        df.filter(F.length(F.col(text_col)) > 0)
+        .select(
+            id_col,
+            text_col,
+            F.posexplode(
+                F.sequence(F.lit(0), last, F.lit(stride))
+            ).alias("chunk_idx", "chunk_start"),
+        )
+        .select(
+            id_col,
+            "chunk_idx",
+            "chunk_start",
+            F.substring(
+                F.col(text_col), F.col("chunk_start") + 1, chunk_len
+            ).alias("chunk_text"),
+        )
+    )
