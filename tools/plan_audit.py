@@ -68,6 +68,8 @@ DESIGNED_BNL = {
     "lang_id",
     # 1-row broadcast n_total / n_hot_exact invariant joins
     "cms_heavy_hitters",
+    # 1-row broadcast (n_docs_in, tok_in) coverage-invariant join
+    "pack_sequences",
 }
 
 
