@@ -374,6 +374,80 @@ def _q_epn_approx(spark, sf_dir):
     )
 
 
+def _q_sketch_tier_merge(spark, sf_dir):
+    """Mergeable sketch tiers (operators/sketch_tiers.py): hourly
+    Datasketches KLL(value) + HLL(user_id) sketches per event_type, MERGED
+    to daily sketches without re-reading raw — the only way percentiles and
+    distinct counts roll up at 100 TB (hourly p95s don't average into the
+    daily p95; hourly distincts double-count). Pure JVM both levels:
+    kll_sketch_agg_double -> kll_merge_agg_double, hll_sketch_agg ->
+    hll_union_agg; only sketch bytes ride the second exchange (24 rows per
+    key-day). Rows-only, SELF-VERIFYING against raw computed in-query:
+    ``conservation_ok`` = the merged KLL's own exact stream length
+    (kll_sketch_get_n) AND the composed count both equal the exact raw row
+    count — every raw row passed the two-level merge tree exactly once;
+    ``kll_ok`` = each daily p50/p95/p99 estimate lands inside the exact
+    order-statistics band at rank +/- 0.05 (KLL's merge theorem preserves
+    the k=200 ~1.65%-sigma rank bound; KLL compaction is randomized so
+    bands, never equality); ``hll_ok`` = merged distinct estimate within
+    5*rsd of exact (rsd = 1.04/sqrt(2^12), absolute floor 2)."""
+    _prep(spark)
+    from wavelet_decomposition_spark.operators.sketch_tiers import (
+        HLL_LG_K,
+        hll_rsd,
+        merge_sketch_tier,
+        rank_band_columns,
+        read_sketch_tier,
+        sketch_tier,
+    )
+
+    probs = [0.5, 0.95, 0.99]
+    eps = 0.05
+    ev = _events(spark, sf_dir).select("event_type", "ts", "value", "user_id")
+    hourly = sketch_tier(ev, ["event_type"], "ts", "value", "user_id", "1h")
+    daily = read_sketch_tier(
+        merge_sketch_tier(hourly, ["event_type"], "1d"), probs
+    )
+    # verification side (exact, raw-scan — exists only to check the cascade)
+    exact = ev.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("bucket_ts")
+    ).agg(
+        F.count(F.lit(1)).alias("n_exact"),
+        F.countDistinct("user_id").alias("d_exact"),
+        *rank_band_columns(F.col("value"), probs, eps),
+    )
+    kll_ok = None
+    for p in probs:
+        tag = f"p{int(round(p * 100)):02d}"
+        c = (F.col(f"{tag}_est") >= F.col(f"{tag}_lo")) & (
+            F.col(f"{tag}_est") <= F.col(f"{tag}_hi")
+        )
+        kll_ok = c if kll_ok is None else (kll_ok & c)
+    return (
+        daily.join(F.broadcast(exact), ["event_type", "bucket_ts"])
+        .select(
+            "event_type",
+            "bucket_ts",
+            "n_rows",
+            "distinct_est",
+            "d_exact",
+            *[f"p{int(round(p * 100)):02d}_est" for p in probs],
+            (
+                (F.col("kll_n") == F.col("n_exact"))
+                & (F.col("n_rows") == F.col("n_exact"))
+            ).alias("conservation_ok"),
+            kll_ok.alias("kll_ok"),
+            (
+                F.abs(F.col("distinct_est") - F.col("d_exact"))
+                <= F.greatest(
+                    F.lit(5 * hll_rsd(HLL_LG_K)) * F.col("d_exact"), F.lit(2.0)
+                )
+            ).alias("hll_ok"),
+        )
+        .orderBy("event_type", "bucket_ts")
+    )
+
+
 def _q_topk_argmin(spark, sf_dir):
     """A11 pattern — per-group argmax bucket (orderBy + limit shape)."""
     _prep(spark)
@@ -3475,6 +3549,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_heavy_hitters": _q_cms_heavy_hitters,
         "doc_chunks": _q_doc_chunks,
         "pack_sequences": _q_pack_sequences,
+        "sketch_tier_merge": _q_sketch_tier_merge,
         # -- (2) oracle queries with no CORRECTNESS_r04 row ----------------
         "weekly_profile": _q_weekly_profile,
         "top_users_per_hour": _q_top_users_per_hour,
