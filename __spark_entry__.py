@@ -448,6 +448,70 @@ def _q_sketch_tier_merge(spark, sf_dir):
     )
 
 
+def _q_dtw_pairs(spark, sf_dir):
+    """Banded dynamic-time-warping distances between the per-type hourly
+    activity series (operators/dtw.py) — phase-robust series similarity
+    next to the Pearson corr_matrix (a burst an hour late is 'near' under
+    DTW, 'far' under Euclid). Series are zero-filled onto one shared
+    hourly grid (equal lengths by construction), packed to arrays in one
+    hash aggregate, pairs enumerated JVM-side (transform/flatten/explode —
+    no join, no nested-loop plan), scored by an anti-diagonal-vectorized
+    Arrow kernel at Sakoe-Chiba radius 24 h and 72 h in one pass.
+    Rows-only, SELF-VERIFYING with DTW's provable properties computed
+    in-query: ``self_ok`` = dtw(x,x) == 0 on the identity pairs;
+    ``bound_ok`` = dtw <= Euclid (the diagonal path is admissible inside
+    any band); ``band_ok`` = the 72 h-band distance <= the 24 h-band
+    distance (wider band = superset of warping paths). A kernel that
+    mis-scores or mis-aligns cannot satisfy all three."""
+    _prep(spark)
+    from wavelet_decomposition_spark.operators.dtw import dtw_allpairs
+
+    counts = (
+        _events(spark, sf_dir)
+        .groupBy(
+            F.col("event_type").alias("series_id"),
+            F.date_trunc("hour", F.col("ts")).alias("bucket_ts"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    # bounded scalar collect: the global grid endpoints (2 timestamps)
+    lo, hi = counts.agg(F.min("bucket_ts"), F.max("bucket_ts")).first()
+    grid = (
+        counts.select("series_id")
+        .distinct()
+        .select(
+            "series_id",
+            F.explode(
+                F.sequence(
+                    F.lit(lo), F.lit(hi), F.expr("interval 1 hour")
+                )
+            ).alias("bucket_ts"),
+        )
+    )
+    filled = grid.join(counts, ["series_id", "bucket_ts"], "left").select(
+        "series_id",
+        "bucket_ts",
+        F.coalesce(F.col("n"), F.lit(0)).cast("double").alias("v"),
+    )
+    out = dtw_allpairs(
+        filled, "series_id", "bucket_ts", "v",
+        radius=24, wide_radius=72, include_self=True,
+    )
+    return out.select(
+        "key_a",
+        "key_b",
+        "n_a",
+        F.round("dtw", 6).alias("dtw"),
+        F.round("dtw_wide", 6).alias("dtw_wide"),
+        F.round("euclid", 6).alias("euclid"),
+        F.when(F.col("key_a") == F.col("key_b"), F.col("dtw") == 0.0)
+        .otherwise(F.lit(True))
+        .alias("self_ok"),
+        (F.col("dtw") <= F.col("euclid") + 1e-9).alias("bound_ok"),
+        (F.col("dtw_wide") <= F.col("dtw") + 1e-9).alias("band_ok"),
+    ).orderBy("key_a", "key_b")
+
+
 def _q_topk_argmin(spark, sf_dir):
     """A11 pattern — per-group argmax bucket (orderBy + limit shape)."""
     _prep(spark)
@@ -3550,6 +3614,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_chunks": _q_doc_chunks,
         "pack_sequences": _q_pack_sequences,
         "sketch_tier_merge": _q_sketch_tier_merge,
+        "dtw_pairs": _q_dtw_pairs,
         # -- (2) oracle queries with no CORRECTNESS_r04 row ----------------
         "weekly_profile": _q_weekly_profile,
         "top_users_per_hour": _q_top_users_per_hour,
