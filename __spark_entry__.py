@@ -448,6 +448,67 @@ def _q_sketch_tier_merge(spark, sf_dir):
     )
 
 
+def _q_dwt_denoise(spark, sf_dir):
+    """Wavelet shrinkage denoising (operators/wavelet_ops.py
+    denoise_windows — Donoho-Johnstone VisuShrink) over db4 pyramids of
+    the transcript 1m activity tier: per dyadic window, noise scale from
+    the finest detail band's MAD, soft-threshold every detail coefficient
+    at sigma*sqrt(2 ln n), inverse DWT. Same bucketed Arrow execution as
+    dwt_energy. Rows-only, SELF-VERIFYING via identities computed in the
+    same kernel pass that the output cannot satisfy by accident:
+    ``parseval_ok`` (orthonormal DWT conserves energy between the time
+    and coefficient domains), ``roundtrip_ok`` (inverse(forward(x)) == x
+    to 1e-9 on the UNSHRUNK coefficients — perfect reconstruction rides
+    every row), ``energy_ok`` (shrinkage is pointwise |c'| <= |c| on an
+    orthonormal basis, so denoised energy can only decrease), and
+    ``zeroed_ok`` (0 <= n_zeroed <= n_detail)."""
+    _prep(spark)
+    from wavelet_decomposition_spark.io.transcripts import transcripts_df
+    from wavelet_decomposition_spark.operators import (
+        activity,
+        gapfill,
+        rollup,
+    )
+    from wavelet_decomposition_spark.operators.wavelet_ops import (
+        denoise_windows,
+    )
+
+    tx = transcripts_df(spark, 100, seed=42)
+    tier = rollup.rollup_once(activity.activity_raw(tx), "1m")
+    filled = gapfill.gapfill_zero(
+        tier, activity.ACTIVITY_COUNT_COLS, step="1 minute"
+    )
+    out = denoise_windows(
+        filled, "turns", wavelet="db4", levels=4, window_len=64
+    )
+    return out.select(
+        "conv_id",
+        "window_id",
+        "wavelet",
+        "n",
+        F.round("sigma", 6).alias("sigma"),
+        F.round("threshold", 6).alias("threshold"),
+        F.round("input_energy", 6).alias("input_energy"),
+        F.round("den_energy", 6).alias("den_energy"),
+        "n_zeroed",
+        "n_detail",
+        (
+            F.abs(F.col("coef_energy") - F.col("input_energy"))
+            <= 1e-6 * F.greatest(F.col("input_energy"), F.lit(1.0))
+        ).alias("parseval_ok"),
+        (F.col("roundtrip_rel_err") <= 1e-9).alias("roundtrip_ok"),
+        (
+            F.col("den_energy")
+            <= F.col("input_energy")
+            + 1e-6 * F.greatest(F.col("input_energy"), F.lit(1.0))
+        ).alias("energy_ok"),
+        (
+            (F.col("n_zeroed") >= 0)
+            & (F.col("n_zeroed") <= F.col("n_detail"))
+        ).alias("zeroed_ok"),
+    ).orderBy("conv_id", "window_id")
+
+
 def _q_dtw_pairs(spark, sf_dir):
     """Banded dynamic-time-warping distances between the per-type hourly
     activity series (operators/dtw.py) — phase-robust series similarity
@@ -3615,6 +3676,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": _q_pack_sequences,
         "sketch_tier_merge": _q_sketch_tier_merge,
         "dtw_pairs": _q_dtw_pairs,
+        "dwt_denoise": _q_dwt_denoise,
         # -- (2) oracle queries with no CORRECTNESS_r04 row ----------------
         "weekly_profile": _q_weekly_profile,
         "top_users_per_hour": _q_top_users_per_hour,

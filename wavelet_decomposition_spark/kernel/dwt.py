@@ -130,6 +130,32 @@ def idwt(details, approx: np.ndarray, wavelet: str = "haar") -> np.ndarray:
     return a
 
 
+def idwt_batch(details, approx: np.ndarray, wavelet: str = "haar") -> np.ndarray:
+    """Batched inverse of :func:`dwt_batch` (transpose of the orthonormal
+    analysis, like :func:`idwt`): synthesis contributions are scattered with
+    one ``bincount`` per level over flattened (row, position) indices — no
+    per-window Python, no ``np.add.at`` on strided views."""
+    h, g = filters(wavelet)
+    A = np.ascontiguousarray(approx, dtype=np.float64)
+    nrows = A.shape[0]
+    for d in reversed(details):
+        ncur = 2 * A.shape[1]
+        k = np.arange(A.shape[1])
+        idx = (2 * k[:, None] + np.arange(h.size)[None, :]) % ncur
+        D = np.ascontiguousarray(d, dtype=np.float64)
+        contrib = (
+            h[None, None, :] * A[:, :, None]
+            + g[None, None, :] * D[:, :, None]
+        )
+        flat = (
+            np.arange(nrows)[:, None, None] * ncur + idx[None, :, :]
+        ).ravel()
+        A = np.bincount(
+            flat, weights=contrib.ravel(), minlength=nrows * ncur
+        ).reshape(nrows, ncur)
+    return A
+
+
 def modwt(x: np.ndarray, wavelet: str = "haar", levels: int | None = None):
     """Maximal-overlap DWT: returns ``(W, V)`` with ``W[j]`` the level-(j+1)
     wavelet coefficients (each len N) and ``V`` the final scaling

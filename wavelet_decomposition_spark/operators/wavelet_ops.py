@@ -321,3 +321,135 @@ def energy_windows(
         .groupBy("_bucket")
         .applyInPandas(_energy_bucket, schema=ENERGY_SCHEMA)
     )
+
+
+DENOISE_SCHEMA = (
+    "conv_id string, window_id int, wavelet string, n int, sigma double, "
+    "threshold double, input_energy double, coef_energy double, "
+    "den_energy double, n_zeroed int, n_detail int, "
+    "roundtrip_rel_err double, denoised array<double>"
+)
+
+
+def denoise_windows(
+    filled: DataFrame,
+    value_col: str,
+    wavelet: str = "db4",
+    levels: int = 4,
+    window_len: int | None = None,
+    threshold: float | str = "universal",
+    mode: str = "soft",
+    group_col: str = "conv_id",
+    ts_col: str = "bucket_ts",
+    n_partitions: int | None = None,
+    sparse_fill_step: str | None = None,
+) -> DataFrame:
+    """Wavelet shrinkage denoising per dyadic window (Donoho–Johnstone
+    VisuShrink, public algorithm): DWT -> estimate the noise scale from the
+    FINEST detail band's MAD (``sigma = median(|d1|)/0.6745`` — the finest
+    band is almost pure noise for smooth signals) -> soft/hard-threshold
+    every detail coefficient at the universal threshold
+    ``sigma * sqrt(2 ln n)`` (or a fixed ``threshold`` float) -> inverse
+    DWT. The approximation band is never shrunk.
+
+    Same bucketed execution shape as :func:`dwt_window_bands` (one Arrow
+    task per conversation bucket, whole-bucket numpy, per-window output
+    rows). Each output row carries its own verification scalars, all from
+    identities the kernel cannot fake:
+
+    - ``input_energy`` vs ``coef_energy``: Parseval (orthonormal DWT);
+    - ``roundtrip_rel_err``: inverse(forward(x)) vs x computed on the
+      UNSHRUNK coefficients in the same pass — perfect-reconstruction
+      evidence rides every row;
+    - ``den_energy <= input_energy``: shrinkage is pointwise |c'| <= |c| on
+      an orthonormal basis, so reconstruction energy can only decrease;
+    - ``n_zeroed`` of ``n_detail``: how much of the detail mass the
+      threshold removed.
+    """
+    if window_len is None:
+        window_len = (2**levels) * 8
+    if mode not in ("soft", "hard"):
+        raise ValueError(mode)
+    if isinstance(threshold, str) and threshold != "universal":
+        raise ValueError(threshold)
+    step_us = (
+        int(pd.Timedelta(sparse_fill_step).total_seconds() * 1e6)
+        if sparse_fill_step is not None
+        else None
+    )
+
+    def _denoise_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values([group_col, ts_col])
+        codes, uniques = pd.factorize(pdf[group_col], sort=False)
+        x = pdf[value_col].to_numpy(dtype=np.float64)
+        counts = np.bincount(codes)
+        starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+        pos, nwin = _positions(pdf, codes, counts, starts, ts_col,
+                               step_us, window_len)
+        win_base = np.concatenate(([0], np.cumsum(nwin)[:-1]))
+        total_win = int(nwin.sum())
+        M = np.zeros((total_win, window_len), dtype=np.float64)
+        M[win_base[codes] + pos // window_len, pos % window_len] = x
+
+        details, approx = kdwt.dwt_batch(M, wavelet, levels)
+        input_energy = np.einsum("ij,ij->i", M, M)
+        coef_energy = np.einsum("ij,ij->i", approx, approx)
+        for d in details:
+            coef_energy += np.einsum("ij,ij->i", d, d)
+
+        sigma = np.median(np.abs(details[0]), axis=1) / 0.6745
+        if threshold == "universal":
+            thr = sigma * np.sqrt(2.0 * np.log(window_len))
+        else:
+            thr = np.full(total_win, float(threshold))
+
+        shrunk = []
+        n_zeroed = np.zeros(total_win, dtype=np.int64)
+        n_detail = 0
+        for d in details:
+            n_detail += d.shape[1]
+            a = np.abs(d)
+            keep = a > thr[:, None]
+            n_zeroed += ((~keep) & (a > 0)).sum(axis=1)
+            if mode == "soft":
+                shrunk.append(np.sign(d) * np.maximum(a - thr[:, None], 0.0))
+            else:
+                shrunk.append(np.where(keep, d, 0.0))
+
+        den = kdwt.idwt_batch(shrunk, approx, wavelet)
+        den_energy = np.einsum("ij,ij->i", den, den)
+        roundtrip = kdwt.idwt_batch(details, approx, wavelet)
+        rt_num = np.sqrt(np.einsum("ij,ij->i", roundtrip - M, roundtrip - M))
+        rt_den = np.maximum(np.sqrt(input_energy), 1e-300)
+        win_code = np.repeat(np.arange(counts.size), nwin)
+        win_conv = np.asarray(uniques, dtype=object)[win_code]
+        win_id = (np.arange(total_win) - win_base[win_code]).astype(np.int32)
+        return pd.DataFrame(
+            {
+                "conv_id": win_conv,
+                "window_id": win_id,
+                "wavelet": wavelet,
+                "n": np.int32(window_len),
+                "sigma": sigma,
+                "threshold": thr,
+                "input_energy": input_energy,
+                "coef_energy": coef_energy,
+                "den_energy": den_energy,
+                "n_zeroed": n_zeroed.astype(np.int32),
+                "n_detail": np.int32(n_detail),
+                "roundtrip_rel_err": rt_num / rt_den,
+                "denoised": list(den),
+            }
+        )
+
+    if n_partitions is None:
+        n_partitions = filled.sparkSession.sparkContext.defaultParallelism * 2
+    n_buckets = n_partitions * 4
+    bucketed = filled.select(group_col, ts_col, value_col).withColumn(
+        "_bucket", F.pmod(F.hash(group_col), F.lit(n_buckets))
+    )
+    return (
+        bucketed.repartition(n_partitions, "_bucket")
+        .groupBy("_bucket")
+        .applyInPandas(_denoise_bucket, schema=DENOISE_SCHEMA)
+    )
