@@ -1970,6 +1970,100 @@ def _q_hourly_percentiles(spark, sf_dir):
     )
 
 
+def _q_cube_profile(spark, sf_dir):
+    """OLAP CUBE over (event_type, day-of-week): all four grouping sets —
+    cell, per-type subtotal, per-dow subtotal, grand total — in ONE
+    aggregate pass (Spark expands the sets map-side; a UNION of four
+    groupBys would scan four times). Subtotal keys surface as the 'ALL' /
+    -1 sentinels (both grouping columns are non-null, so coalesce is
+    unambiguous). Exact integer-cent sums; oracle is DuckDB's native
+    GROUP BY CUBE."""
+    _prep(spark)
+    ev = _events(spark, sf_dir).select(
+        "event_type",
+        F.dayofweek("ts").alias("dow"),
+        F.round(F.col("value") * 100).cast("bigint").alias("_cents"),
+    )
+    return (
+        ev.cube("event_type", "dow")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("_cents").alias("sum_cents"),
+        )
+        .select(
+            F.coalesce("event_type", F.lit("ALL")).alias("event_type_g"),
+            F.coalesce("dow", F.lit(-1)).cast("int").alias("dow_g"),
+            "n",
+            "sum_cents",
+        )
+    )
+
+
+def _q_hopping_window(spark, sf_dir):
+    """Hopping (sliding) window aggregate: per event_type, count and exact
+    integer-cent sum over 1-hour windows sliding every 15 minutes — the
+    overlapping-window primitive tumbling tiers can't express (each event
+    lands in exactly windowDuration/slide = 4 windows). Spark's native
+    ``window(ts, '1 hour', '15 minutes')`` expands the assignment
+    map-side; the DuckDB oracle replays the same epoch-aligned grid with
+    an explicit 4-hop fan-out."""
+    _prep(spark)
+    ev = _events(spark, sf_dir).select(
+        "ts",
+        "event_type",
+        F.round(F.col("value") * 100).cast("bigint").alias("_cents"),
+    )
+    return (
+        ev.groupBy(
+            F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("_cents").alias("sum_cents"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n",
+            "sum_cents",
+        )
+    )
+
+
+def _q_rank_functions(spark, sf_dir):
+    """The SQL ranking-function surface in one query: rank, dense_rank,
+    percent_rank, cume_dist, ntile(4) over the per-type hourly count
+    series, ordered by (n DESC, bucket_ts ASC) — a total order (bucket_ts
+    is unique per type), so every function is deterministic and the
+    doubles (percent_rank's (rank-1)/(n-1), cume_dist's peers/n) are the
+    same two-integer division in both engines — bit-identical,
+    unrounded."""
+    _prep(spark)
+    from pyspark.sql import Window
+
+    per = (
+        _events(spark, sf_dir)
+        .groupBy(
+            "event_type",
+            F.date_trunc("hour", F.col("ts")).alias("bucket_ts"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        F.desc("n"), F.asc("bucket_ts")
+    )
+    return per.select(
+        "event_type",
+        "bucket_ts",
+        "n",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.percent_rank().over(w).alias("prnk"),
+        F.cume_dist().over(w).alias("cdist"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
+
+
 def _q_series_corr_matrix(spark, sf_dir):
     """Pairwise Pearson correlation matrix of the five hourly series
     (upper triangle, positional row alignment like ts_xcorr's lag 0):
@@ -3677,6 +3771,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_tier_merge": _q_sketch_tier_merge,
         "dtw_pairs": _q_dtw_pairs,
         "dwt_denoise": _q_dwt_denoise,
+        "cube_profile": _q_cube_profile,
+        "hopping_window": _q_hopping_window,
+        "rank_functions": _q_rank_functions,
         # -- (2) oracle queries with no CORRECTNESS_r04 row ----------------
         "weekly_profile": _q_weekly_profile,
         "top_users_per_hour": _q_top_users_per_hour,
@@ -4942,6 +5039,44 @@ def oracle_sql() -> dict[str, str]:
                    CAST(n_violations AS BIGINT) AS n_violations,
                    CAST(n - n_violations AS DOUBLE) / n AS pass_rate
             FROM s
+        """,
+        "cube_profile": """
+            SELECT coalesce(event_type, 'ALL') AS event_type_g,
+                   CAST(coalesce(dow, -1) AS INT) AS dow_g,
+                   count(*) AS n,
+                   CAST(sum(cents) AS BIGINT) AS sum_cents
+            FROM (SELECT event_type,
+                         dayofweek(ts) + 1 AS dow,
+                         CAST(round(value * 100) AS BIGINT) AS cents
+                  FROM events)
+            GROUP BY CUBE(event_type, dow)
+        """,
+        "hopping_window": """
+            WITH hops AS (
+                SELECT time_bucket(INTERVAL '15 minutes', ts)
+                           - t.k * INTERVAL '15 minutes' AS window_start,
+                       event_type,
+                       CAST(round(value * 100) AS BIGINT) AS cents
+                FROM events
+                CROSS JOIN (VALUES (0), (1), (2), (3)) t(k))
+            SELECT window_start, event_type, count(*) AS n,
+                   CAST(sum(cents) AS BIGINT) AS sum_cents
+            FROM hops GROUP BY 1, 2
+        """,
+        "rank_functions": """
+            WITH per AS (
+                SELECT event_type, date_trunc('hour', ts) AS bucket_ts,
+                       count(*) AS n
+                FROM events GROUP BY 1, 2)
+            SELECT event_type, bucket_ts, n,
+                   CAST(rank() OVER w AS INT) AS rnk,
+                   CAST(dense_rank() OVER w AS INT) AS drnk,
+                   percent_rank() OVER w AS prnk,
+                   cume_dist() OVER w AS cdist,
+                   CAST(ntile(4) OVER w AS INT) AS quartile
+            FROM per
+            WINDOW w AS (PARTITION BY event_type
+                         ORDER BY n DESC, bucket_ts ASC)
         """,
         "weekly_profile": """
             WITH cells AS (
