@@ -2064,6 +2064,89 @@ def _q_rank_functions(spark, sf_dir):
     )
 
 
+def _q_sliding_distinct(spark, sf_dir):
+    """EXACT trailing-24h distinct users per (event_type, hourly slide) —
+    the 'active users in the last day, refreshed hourly' dashboard query.
+    Spark's native sliding window(ts, '24 hours', '1 hour') assigns each
+    event to its 24 covering windows map-side, then one countDistinct.
+    Honest scale note in-code: this fans every event out 24x; the
+    production path is sliding_distinct_sketch (zero fan-out, HLL tier +
+    range-frame union — the rows-only twin query). Oracle: DuckDB replays
+    the same epoch-aligned 24-hop fan-out."""
+    _prep(spark)
+    ev = _events(spark, sf_dir).select("ts", "event_type", "user_id")
+    return (
+        ev.groupBy(
+            F.window("ts", "24 hours", "1 hour").alias("w"), "event_type"
+        )
+        .agg(
+            F.countDistinct("user_id").alias("n_users"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_users",
+            "n_events",
+        )
+    )
+
+
+def _q_sliding_distinct_sketch(spark, sf_dir):
+    """The 100-TB path for trailing-window cardinality
+    (operators/sketch_tiers.py sliding_distinct_sketch): hourly HLL
+    sketches built once, trailing-24h estimate = one RANGE-frame
+    hll_union_agg over 24 tier rows — ZERO event fan-out where the exact
+    form replicates every event 24x before a distinct shuffle (HLL union
+    is register-wise max, so the window union of hourly sketches IS the
+    sketch of the hour union; gap hours need no fill — the range frame is
+    value-defined). Rows-only, SELF-VERIFYING: ``sketch_ok`` joins each
+    estimate to the exact trailing distinct (computed in-query via the
+    fan-out form) and asserts |est - exact| <= 5*rsd*exact with absolute
+    floor 2."""
+    _prep(spark)
+    from wavelet_decomposition_spark.operators.sketch_tiers import (
+        HLL_LG_K,
+        hll_rsd,
+        sliding_distinct_sketch,
+    )
+
+    ev = _events(spark, sf_dir).select("ts", "event_type", "user_id")
+    est = sliding_distinct_sketch(
+        ev, ["event_type"], "ts", "user_id", window_hours=24
+    )
+    exact = (
+        ev.groupBy(
+            F.window("ts", "24 hours", "1 hour").alias("w"), "event_type"
+        )
+        .agg(F.countDistinct("user_id").alias("n_exact"))
+        .select(
+            F.col("w.end").alias("_we"), "event_type", "n_exact"
+        )
+    )
+    # sketch row at hour h covers (h+1h-24h, h+1h] == exact window ending h+1h
+    return (
+        est.withColumn(
+            "_we", F.col("bucket_ts") + F.expr("interval 1 hour")
+        )
+        .join(exact, ["event_type", "_we"])
+        .select(
+            "event_type",
+            "bucket_ts",
+            "distinct_est",
+            "n_exact",
+            (
+                F.abs(F.col("distinct_est") - F.col("n_exact"))
+                <= F.greatest(
+                    F.lit(5 * hll_rsd(HLL_LG_K)) * F.col("n_exact"),
+                    F.lit(2.0),
+                )
+            ).alias("sketch_ok"),
+        )
+        .orderBy("event_type", "bucket_ts")
+    )
+
+
 def _q_series_corr_matrix(spark, sf_dir):
     """Pairwise Pearson correlation matrix of the five hourly series
     (upper triangle, positional row alignment like ts_xcorr's lag 0):
@@ -3774,6 +3857,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cube_profile": _q_cube_profile,
         "hopping_window": _q_hopping_window,
         "rank_functions": _q_rank_functions,
+        "sliding_distinct": _q_sliding_distinct,
+        "sliding_distinct_sketch": _q_sliding_distinct_sketch,
         # -- (2) oracle queries with no CORRECTNESS_r04 row ----------------
         "weekly_profile": _q_weekly_profile,
         "top_users_per_hour": _q_top_users_per_hour,
@@ -5077,6 +5162,18 @@ def oracle_sql() -> dict[str, str]:
             FROM per
             WINDOW w AS (PARTITION BY event_type
                          ORDER BY n DESC, bucket_ts ASC)
+        """,
+        "sliding_distinct": """
+            WITH hops AS (
+                SELECT time_bucket(INTERVAL '1 hour', ts)
+                           + (t.k + 1) * INTERVAL '1 hour' AS window_end,
+                       event_type, user_id
+                FROM events
+                CROSS JOIN (SELECT unnest(range(24)) AS k) t)
+            SELECT window_end, event_type,
+                   count(DISTINCT user_id) AS n_users,
+                   count(*) AS n_events
+            FROM hops GROUP BY 1, 2
         """,
         "weekly_profile": """
             WITH cells AS (

@@ -116,6 +116,41 @@ def test_merge_composes_across_levels(spark):
             assert (est <= j[f"{tag}_hi"]).all()
 
 
+def test_sliding_distinct_sketch_matches_exact_band(spark):
+    """Range-frame HLL union vs a brute trailing-window exact distinct,
+    including GAP HOURS (the frame is value-defined, so absent hours must
+    simply be absent from the union — no grid fill)."""
+    from wavelet_decomposition_spark.operators.sketch_tiers import (
+        sliding_distinct_sketch,
+    )
+
+    rng = np.random.default_rng(13)
+    n = 4_000
+    # leave hours 10-13 empty to exercise the gap behavior
+    hours = rng.choice([h for h in range(48) if h not in (10, 11, 12, 13)], n)
+    pdf = pd.DataFrame(
+        {
+            "k": "a",
+            "ts": pd.Timestamp("2024-05-01")
+            + pd.to_timedelta(hours * 3600 + rng.integers(0, 3600, n), "s"),
+            "uid": rng.integers(0, 300, n).astype(str),
+        }
+    )
+    df = spark.createDataFrame(pdf).repartition(5)
+    got = sliding_distinct_sketch(
+        df, ["k"], "ts", "uid", window_hours=6
+    ).toPandas()
+    assert len(got) == pdf["ts"].dt.floor("h").nunique()
+    g = pdf.assign(hr=pdf["ts"].dt.floor("h"))
+    for row in got.itertuples():
+        lo = row.bucket_ts - pd.Timedelta(hours=5)
+        exact = g[(g["hr"] >= lo) & (g["hr"] <= row.bucket_ts)][
+            "uid"
+        ].nunique()
+        tol = max(5 * hll_rsd(HLL_LG_K) * exact, 2)
+        assert abs(row.distinct_est - exact) <= tol, (row.bucket_ts, exact)
+
+
 def test_plan_is_pure_jvm(spark):
     """The cascade must be two hash aggregates with zero Python stages and
     zero joins — sketch bytes are the only thing that rides the exchanges."""

@@ -124,6 +124,51 @@ def read_sketch_tier(tier_df: DataFrame, probs: list[float]) -> DataFrame:
     )
 
 
+def sliding_distinct_sketch(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str,
+    distinct_col: str,
+    window_hours: int = 24,
+    hll_lg_k: int = HLL_LG_K,
+) -> DataFrame:
+    """Trailing-window distinct-count estimate with ZERO event fan-out.
+
+    The exact form of 'distinct users in the trailing 24 h, per hour'
+    replicates every event windowDuration/slide = 24 times before a
+    countDistinct shuffle — at 100 TB that 24x fan-out of raw rows, then a
+    distinct over them, is the query's whole cost. This path instead builds
+    the hourly HLL tier once (one hash aggregate, sketch bytes only) and
+    takes a RANGE-frame ``hll_union_agg`` over the trailing 24 tier rows —
+    HLL union is register-wise max, so a window union of hourly sketches IS
+    the sketch of the union of hours. Gap hours need no fill: the range
+    frame is defined on the hour index values, so absent hours are simply
+    absent from the union, exactly matching the exact trailing window.
+
+    Output per (keys..., bucket_ts): ``distinct_est`` for the 24 h window
+    ENDING at the end of bucket_ts's hour (i.e. covering
+    (bucket_ts + 1h - window, bucket_ts + 1h]).
+    """
+    hourly = df.groupBy(
+        *keys, F.date_trunc("hour", F.col(ts_col)).alias("bucket_ts")
+    ).agg(F.hll_sketch_agg(distinct_col, hll_lg_k).alias("_sk"))
+    from pyspark.sql import Window
+
+    hr = (F.unix_timestamp("bucket_ts") / 3600).cast("long")
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(hr)
+        .rangeBetween(-(window_hours - 1), 0)
+    )
+    return hourly.select(
+        *keys,
+        "bucket_ts",
+        F.hll_sketch_estimate(F.hll_union_agg("_sk").over(w)).alias(
+            "distinct_est"
+        ),
+    )
+
+
 def rank_band_columns(
     value_col: Column, probs: list[float], eps: float
 ) -> list[Column]:
