@@ -509,6 +509,82 @@ def _q_dwt_denoise(spark, sf_dir):
     ).orderBy("conv_id", "window_id")
 
 
+def _q_response_latency(spark, sf_dir):
+    """Turn-taking latency over the transcript table (the payload axis):
+    per conversation, the assistant's response delay on every user ->
+    assistant transition (stable turn_idx ordering, exact integer
+    microseconds) aggregated to count / mean / max. Rows-only (transcripts
+    aren't a DuckDB view), SELF-VERIFYING by full computation-path
+    redundancy: the same latencies are derived through one lag WINDOW and
+    independently through a turn_idx self-JOIN (cur.turn_idx ==
+    prev.turn_idx + 1), and ``dual_ok`` asserts (n, sum, max) agree
+    integer-exactly per conversation — a mis-ordered window or a dropped
+    join row cannot balance all three books. ``nonneg_ok`` pins the
+    within-conversation timestamp monotonicity invariant."""
+    _prep(spark)
+    from pyspark.sql import Window
+
+    from wavelet_decomposition_spark.io.transcripts import transcripts_df
+
+    tx = transcripts_df(spark, 400, seed=42).select(
+        "conv_id", "turn_idx", "role", F.unix_micros("ts").alias("_us")
+    )
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    path_a = (
+        tx.withColumn("_pus", F.lag("_us").over(w))
+        .withColumn("_prole", F.lag("role").over(w))
+        .where(
+            (F.col("role") == "assistant") & (F.col("_prole") == "user")
+        )
+        .select("conv_id", (F.col("_us") - F.col("_pus")).alias("lat_us"))
+        .groupBy("conv_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_responses"),
+            F.sum("lat_us").alias("sum_lat_us"),
+            F.max("lat_us").alias("max_lat_us"),
+            F.min("lat_us").alias("_min_lat"),
+        )
+    )
+    cur = tx.where(F.col("role") == "assistant").select(
+        "conv_id", "turn_idx", F.col("_us").alias("_cus")
+    )
+    prev = tx.where(F.col("role") == "user").select(
+        "conv_id",
+        (F.col("turn_idx") + 1).alias("turn_idx"),
+        F.col("_us").alias("_pus"),
+    )
+    path_b = (
+        cur.join(prev, ["conv_id", "turn_idx"])
+        .select("conv_id", (F.col("_cus") - F.col("_pus")).alias("lat_us"))
+        .groupBy("conv_id")
+        .agg(
+            F.count(F.lit(1)).alias("_n_b"),
+            F.sum("lat_us").alias("_sum_b"),
+            F.max("lat_us").alias("_max_b"),
+        )
+    )
+    return (
+        path_a.join(path_b, "conv_id")
+        .select(
+            "conv_id",
+            "n_responses",
+            (
+                F.col("sum_lat_us").cast("double")
+                / F.col("n_responses")
+                / 1e6
+            ).alias("mean_lat_s"),
+            "max_lat_us",
+            (
+                (F.col("n_responses") == F.col("_n_b"))
+                & (F.col("sum_lat_us") == F.col("_sum_b"))
+                & (F.col("max_lat_us") == F.col("_max_b"))
+            ).alias("dual_ok"),
+            (F.col("_min_lat") >= 0).alias("nonneg_ok"),
+        )
+        .orderBy("conv_id")
+    )
+
+
 def _q_dtw_pairs(spark, sf_dir):
     """Banded dynamic-time-warping distances between the per-type hourly
     activity series (operators/dtw.py) — phase-robust series similarity
@@ -3859,6 +3935,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rank_functions": _q_rank_functions,
         "sliding_distinct": _q_sliding_distinct,
         "sliding_distinct_sketch": _q_sliding_distinct_sketch,
+        "response_latency": _q_response_latency,
         # -- (2) oracle queries with no CORRECTNESS_r04 row ----------------
         "weekly_profile": _q_weekly_profile,
         "top_users_per_hour": _q_top_users_per_hour,

@@ -219,6 +219,14 @@ def main():
         # parity riding on every row; reference-equivalent single-core
         # baseline is 73.2 s for the 14 square solves alone (BASELINE.md)
         "full_decomposition",
+        # round-5: language ID, planted-skew relational pair, mergeable
+        # KLL/HLL sketch tiers, trailing-window distinct (exact 24x-fan-out
+        # form AND the zero-fan-out HLL range-frame path), banded DTW,
+        # VisuShrink denoising, OLAP cube, hopping windows, ranking pack
+        "lang_id", "sessionize_skewed", "user_profile_skewed",
+        "sketch_tier_merge", "sliding_distinct", "sliding_distinct_sketch",
+        "dtw_pairs", "dwt_denoise", "cube_profile", "hopping_window",
+        "rank_functions",
     ]
     qs = entrymod.queries()
     for name in bench_queries:
