@@ -114,6 +114,63 @@ def _q_rollup_1h(spark, sf_dir):
     )
 
 
+def _q_tier_routed_read(spark, sf_dir):
+    """Read-side tier routing (operators/router.py): for a 7-day range and a
+    200-point budget the router picks the finest tier whose point count fits
+    (raw=604,800 / 1m=10,080 / 1h=168 -> 1h), writes that tier of the rollup
+    cascade day-partitioned, and reads the range back partition-pruned (day
+    directories at plan time, bucket_ts via parquet row-group stats).
+    Retention is exercised too: with raw expiring after 3 days and 1m after
+    10 (relative to the fixed 'now'), even an unbounded point budget
+    degrades to 1h for this range — both decisions are asserted in-query,
+    and the oracle pins them again cross-engine: it aggregates at exactly
+    date_trunc('hour'), so a router regression to any other tier changes
+    every output row."""
+    _prep(spark)
+    import os
+    import tempfile
+    from datetime import datetime
+
+    from wavelet_decomposition_spark.operators import rollup
+    from wavelet_decomposition_spark.operators.router import (
+        choose_tier,
+        read_tier_range,
+    )
+
+    start, end = datetime(2024, 1, 5), datetime(2024, 1, 12)
+    retention = {"raw": 3, "1m": 10, "1h": 60, "1d": 3650}
+    now = datetime(2024, 1, 31)
+    tier, _ = choose_tier(start, end, 200, retention_days=retention, now=now)
+    tier_unbounded, _ = choose_tier(
+        start, end, 10**9, retention_days=retention, now=now
+    )
+    if tier != "1h" or tier_unbounded != "1h":  # pin the routing decisions
+        raise RuntimeError(f"router regression: {tier}/{tier_unbounded}")
+
+    one_m = (
+        _events(spark, sf_dir)
+        .groupBy(
+            "event_type", F.date_trunc("minute", F.col("ts")).alias("bucket_ts")
+        )
+        .agg(F.count(F.lit(1)).alias("turns"), F.sum("value").alias("sum_value"))
+    )
+    one_h = one_m.groupBy(
+        "event_type", F.date_trunc("hour", F.col("bucket_ts")).alias("bucket_ts")
+    ).agg(F.sum("turns").alias("turns"), F.sum("sum_value").alias("sum_value"))
+    base = (
+        f"{tempfile.gettempdir()}/wds_tier_store_"
+        f"{os.path.basename(sf_dir.rstrip('/'))}"
+    )
+    rollup.write_tier(one_h, base, tier)
+    return read_tier_range(spark, base, tier, start, end).select(
+        "event_type",
+        "bucket_ts",
+        "turns",
+        F.round(F.col("sum_value"), 6).alias("total_value"),
+        F.lit(tier).alias("tier"),
+    )
+
+
 def _q_normalize_by_group(spark, sf_dir):
     """P2 — per-group mean normalization."""
     _prep(spark)
@@ -3936,6 +3993,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sliding_distinct": _q_sliding_distinct,
         "sliding_distinct_sketch": _q_sliding_distinct_sketch,
         "response_latency": _q_response_latency,
+        "tier_routed_read": _q_tier_routed_read,
         # -- (2) oracle queries with no CORRECTNESS_r04 row ----------------
         "weekly_profile": _q_weekly_profile,
         "top_users_per_hour": _q_top_users_per_hour,
@@ -4056,6 +4114,17 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS turns,
                    round(sum(value), 6) AS total_value
             FROM events GROUP BY 1, 2
+        """,
+        "tier_routed_read": """
+            SELECT event_type,
+                   date_trunc('hour', ts) AS bucket_ts,
+                   count(*) AS turns,
+                   round(sum(value), 6) AS total_value,
+                   '1h' AS tier
+            FROM events
+            WHERE ts >= TIMESTAMP '2024-01-05 00:00:00'
+              AND ts <  TIMESTAMP '2024-01-12 00:00:00'
+            GROUP BY 1, 2
         """,
         "normalize_by_group": """
             SELECT event_id,
