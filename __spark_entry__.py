@@ -171,6 +171,64 @@ def _q_tier_routed_read(spark, sf_dir):
     )
 
 
+def _q_scd2_build(spark, sf_dir):
+    """SCD2 version history (operators/scd.py): collapse each user's
+    event_type change stream into validity intervals — one row per run of
+    equal attribute, half-open valid_from/valid_to chaining, is_current on
+    the last run. One shuffle total (the groupBy and both windows share the
+    user_id hash partitioning; pinned in tests/test_scd_compact.py). The
+    DuckDB oracle rebuilds the same runs with window functions."""
+    _prep(spark)
+    from wavelet_decomposition_spark.operators.scd import changes_to_scd2
+
+    return changes_to_scd2(
+        _events(spark, sf_dir), "user_id", "event_type", "ts",
+        tiebreak="event_id",
+    )
+
+
+def _q_compact_tier(spark, sf_dir):
+    """Tier-store small-file compaction (operators/compact.py — the Iceberg
+    rewriteDataFiles bin-pack analog): a fragmented day-partitioned 1m tier
+    (16 writer tasks per refresh) is rewritten to ceil(rows/target) files
+    per day and verified from the data itself. Rows-only but SELF-VERIFYING
+    per day partition: files_ok (exact bin-pack file count), rows_ok, and
+    checksum_ok (order-free bit_xor of xxhash64 over all value columns —
+    content identity, not just cardinality); fewer_ok pins that compaction
+    actually reduced the file count."""
+    _prep(spark)
+    import os
+    import tempfile
+
+    from wavelet_decomposition_spark.operators.compact import (
+        compact_partitioned,
+    )
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    src = f"{tempfile.gettempdir()}/wds_compact_src_{tag}"
+    dst = f"{tempfile.gettempdir()}/wds_compact_dst_{tag}"
+    one_m = (
+        _events(spark, sf_dir)
+        .groupBy(
+            "event_type", F.date_trunc("minute", F.col("ts")).alias("bucket_ts")
+        )
+        .agg(F.count(F.lit(1)).alias("turns"), F.sum("value").alias("sum_value"))
+        .withColumn("day", F.to_date("bucket_ts"))
+    )
+    one_m.repartition(16).write.mode("overwrite").partitionBy("day").parquet(src)
+    out = compact_partitioned(spark, src, dst, "day", target_rows_per_file=2000)
+    return out.select(
+        F.col("day").cast("string").alias("day"),
+        "files_before",
+        "files_after",
+        "rows",
+        "files_ok",
+        "rows_ok",
+        "checksum_ok",
+        (F.col("files_after") <= F.col("files_before")).alias("fewer_ok"),
+    )
+
+
 def _q_normalize_by_group(spark, sf_dir):
     """P2 — per-group mean normalization."""
     _prep(spark)
@@ -3994,6 +4052,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sliding_distinct_sketch": _q_sliding_distinct_sketch,
         "response_latency": _q_response_latency,
         "tier_routed_read": _q_tier_routed_read,
+        "scd2_build": _q_scd2_build,
+        "compact_tier": _q_compact_tier,
         # -- (2) oracle queries with no CORRECTNESS_r04 row ----------------
         "weekly_profile": _q_weekly_profile,
         "top_users_per_hour": _q_top_users_per_hour,
@@ -4125,6 +4185,34 @@ def oracle_sql() -> dict[str, str]:
             WHERE ts >= TIMESTAMP '2024-01-05 00:00:00'
               AND ts <  TIMESTAMP '2024-01-12 00:00:00'
             GROUP BY 1, 2
+        """,
+        "scd2_build": """
+            WITH flagged AS (
+                SELECT user_id, event_type, ts, event_id,
+                       CASE WHEN row_number() OVER w = 1
+                              OR event_type IS DISTINCT FROM
+                                 lag(event_type) OVER w
+                            THEN 1 ELSE 0 END AS chg
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), runs AS (
+                SELECT user_id, event_type, ts,
+                       CAST(sum(chg) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS version
+                FROM flagged
+            ), grouped AS (
+                SELECT user_id, version, event_type,
+                       min(ts) AS valid_from,
+                       CAST(count(*) AS BIGINT) AS n_events
+                FROM runs GROUP BY 1, 2, 3
+            )
+            SELECT user_id, version, event_type, valid_from,
+                   lead(valid_from) OVER w2 AS valid_to,
+                   n_events,
+                   (lead(valid_from) OVER w2 IS NULL) AS is_current
+            FROM grouped
+            WINDOW w2 AS (PARTITION BY user_id ORDER BY valid_from)
         """,
         "normalize_by_group": """
             SELECT event_id,

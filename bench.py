@@ -226,7 +226,12 @@ def main():
         "lang_id", "sessionize_skewed", "user_profile_skewed",
         "sketch_tier_merge", "sliding_distinct", "sliding_distinct_sketch",
         "dtw_pairs", "dwt_denoise", "cube_profile", "hopping_window",
-        "rank_functions",
+        "rank_functions", "response_latency",
+        # round-5 retention-engine completions: routed partition-pruned
+        # tier read (write + pruned read each repeat), SCD2 run-length
+        # version history (one shuffle), bin-pack compaction with content
+        # checksum verification (write + two verify scans each repeat)
+        "tier_routed_read", "scd2_build", "compact_tier",
     ]
     qs = entrymod.queries()
     for name in bench_queries:
