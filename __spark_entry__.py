@@ -229,6 +229,67 @@ def _q_compact_tier(spark, sf_dir):
     )
 
 
+def _q_tier_refresh_resume(spark, sf_dir):
+    """Resumable incremental tier refresh (io/checkpoint.py refresh_tier) —
+    the north rule's 'resumable from checkpoint with per-partition lineage'
+    clause, driver-exposed. Three refreshes of an hourly tier over the
+    per-day-fingerprinted event stream: a cold full build, an unchanged
+    rerun, and a crash-resume rerun after one day's manifest fingerprint is
+    poisoned (the lost-manifest-append seam — the partition write is
+    idempotent overwrite, so the rebuild must be content-identical).
+    Rows-only but SELF-VERIFYING per day: full_build_ok (cold build touched
+    every day), idempotent_ok (unchanged rerun rebuilt nothing),
+    targeted_rebuild_ok (resume rebuilt exactly the poisoned day), and
+    content_stable_ok (every day's manifest content hash — including the
+    rebuilt one — is byte-stable across the three refreshes)."""
+    _prep(spark)
+    import os
+    import shutil
+    import tempfile
+
+    from wavelet_decomposition_spark.io import checkpoint as ckpt
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    base = f"{tempfile.gettempdir()}/wds_refresh_{tag}"
+    shutil.rmtree(base, ignore_errors=True)
+    os.makedirs(base)
+    inp = _events(spark, sf_dir).withColumn("day", F.to_date("ts"))
+
+    def compute(day_slice):
+        return day_slice.groupBy(
+            "event_type", F.date_trunc("hour", F.col("ts")).alias("bucket_ts")
+        ).agg(
+            F.count(F.lit(1)).alias("turns"), F.sum("value").alias("sum_value")
+        )
+
+    built1 = ckpt.refresh_tier(spark, inp, compute, base, "1h", max_concurrency=4)
+    man1 = ckpt.read_manifest(base, "1h")
+    built2 = ckpt.refresh_tier(spark, inp, compute, base, "1h", max_concurrency=4)
+    target = sorted(man1)[0]
+    poisoned = dict(man1[target])
+    poisoned["input_fp"] = "lost-append-simulation"
+    ckpt._append_manifest(base, "1h", poisoned)  # crash-seam simulation
+    built3 = ckpt.refresh_tier(spark, inp, compute, base, "1h", max_concurrency=4)
+    man3 = ckpt.read_manifest(base, "1h")
+    n_days = len(man1)
+    rows = [
+        (
+            day,
+            int(man1[day]["n_rows"]),
+            n_days > 0 and len(built1) == n_days,
+            len(built2) == 0,
+            built3 == [target],
+            man3[day]["content_hash"] == man1[day]["content_hash"],
+        )
+        for day in sorted(man1)
+    ]
+    return spark.createDataFrame(
+        rows,
+        "day string, rows bigint, full_build_ok boolean, idempotent_ok "
+        "boolean, targeted_rebuild_ok boolean, content_stable_ok boolean",
+    )
+
+
 def _q_normalize_by_group(spark, sf_dir):
     """P2 — per-group mean normalization."""
     _prep(spark)
@@ -4051,9 +4112,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sliding_distinct": _q_sliding_distinct,
         "sliding_distinct_sketch": _q_sliding_distinct_sketch,
         "response_latency": _q_response_latency,
+        # late round-5 retention-engine additions — inside the driver's
+        # 50-query window so their first driver row lands THIS round; this
+        # pushes epn_approx / sketch_quantiles / sketch_distinct /
+        # lttb_downsample (rows-only, locally re-verified green) to the
+        # next rotation
         "tier_routed_read": _q_tier_routed_read,
         "scd2_build": _q_scd2_build,
         "compact_tier": _q_compact_tier,
+        "tier_refresh_resume": _q_tier_refresh_resume,
         # -- (2) oracle queries with no CORRECTNESS_r04 row ----------------
         "weekly_profile": _q_weekly_profile,
         "top_users_per_hour": _q_top_users_per_hour,
