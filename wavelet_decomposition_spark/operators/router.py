@@ -44,10 +44,10 @@ def choose_tier(
     if even the coarsest overflows the budget, the coarsest is returned
     anyway (the caller asked for more span than budget — downsample
     further with m4/lttb after the read). ``retention_days`` (tier ->
-    horizon) excludes tiers already expired at ``start_ts``; if every
-    fitting tier is expired, the finest surviving tier is returned so the
-    caller gets data plus the (documented) possibility of exceeding the
-    budget rather than silence.
+    horizon) excludes tiers already expired at ``start_ts``; if no
+    surviving tier fits, the COARSEST surviving tier is returned —
+    minimizing the budget excess — so the caller gets data plus the
+    (documented) possibility of exceeding the budget rather than silence.
     """
     if end_ts <= start_ts:
         raise ValueError("empty range")
