@@ -290,6 +290,25 @@ def _q_tier_refresh_resume(spark, sf_dir):
     )
 
 
+def _q_table_profile(spark, sf_dir):
+    """Ingest-time column profiling (operators/profile.py): one scan, one
+    unpivot, one grouped aggregate — per-column rows/nulls/exact-distinct/
+    min/max in long format; adding profiled columns never adds scans
+    (plan-pinned in tests/test_profile.py). The 100-TB variant swaps
+    count_distinct for approx_count_distinct (exact=False) — same plan
+    minus the distinct pre-aggregation."""
+    _prep(spark)
+    from wavelet_decomposition_spark.operators.profile import profile_columns
+
+    src = _events(spark, sf_dir).select(
+        "event_type",
+        F.col("user_id").cast("string").alias("user_id"),
+        "props",
+        F.to_date("ts").cast("string").alias("day"),
+    )
+    return profile_columns(src, ["event_type", "user_id", "props", "day"])
+
+
 def _q_normalize_by_group(spark, sf_dir):
     """P2 — per-group mean normalization."""
     _prep(spark)
@@ -846,16 +865,33 @@ def _q_topk_argmin(spark, sf_dir):
 
 
 def _q_pricing_summary(spark, sf_dir):
-    """Pushdown + partial-agg showcase (TPC-H Q1 shape on lineitem)."""
+    """Pushdown + partial-agg showcase (TPC-H Q1 shape on lineitem).
+
+    Sums quantize the inputs to integer units first (quantity/price at
+    1e-2, discount at 1e-4) and sum LONGs: integer sums are order-free and
+    bit-identical cross-engine at ANY scale, where a double sum + round is
+    at the mercy of association order — the first sf1.0 oracle run caught
+    exactly that (~1e-5 drift on 5e10 sums). The quantized sums stay far
+    under 2^53, so the final double divisions are exact and identical in
+    both engines."""
     _prep(spark)
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    q_units = F.round(F.col("l_quantity") * 100).cast("long")
+    p_cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    d_units = F.round(F.col("l_discount") * 10000).cast("long")
     return (
         li.filter(F.col("l_shipdate") <= F.lit("2024-06-01").cast("timestamp_ntz"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 6).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 6).alias("sum_base_price"),
-            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            (F.sum(q_units).cast("double") / F.lit(100.0)).alias("sum_qty"),
+            (F.sum(p_cents).cast("double") / F.lit(100.0)).alias(
+                "sum_base_price"
+            ),
+            (
+                F.sum(d_units).cast("double")
+                / F.lit(10000.0)
+                / F.count(F.lit(1))
+            ).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -879,7 +915,12 @@ def _q_nation_revenue(spark, sf_dir):
         .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
         .groupBy("n_name")
         .agg(
-            F.round(F.sum("o_totalprice"), 6).alias("revenue"),
+            (
+                F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).cast(
+                    "double"
+                )
+                / F.lit(100.0)
+            ).alias("revenue"),
             F.count(F.lit(1)).alias("n_orders"),
         )
     )
@@ -4121,6 +4162,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2_build": _q_scd2_build,
         "compact_tier": _q_compact_tier,
         "tier_refresh_resume": _q_tier_refresh_resume,
+        "table_profile": _q_table_profile,
         # -- (2) oracle queries with no CORRECTNESS_r04 row ----------------
         "weekly_profile": _q_weekly_profile,
         "top_users_per_hour": _q_top_users_per_hour,
@@ -4242,6 +4284,25 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(value), 6) AS total_value
             FROM events GROUP BY 1, 2
         """,
+        "table_profile": """
+            WITH src AS (
+                SELECT event_type, CAST(user_id AS VARCHAR) AS user_id,
+                       props, CAST(CAST(ts AS DATE) AS VARCHAR) AS day
+                FROM events
+            ), long AS (
+                SELECT 'event_type' AS col_name, event_type AS val FROM src
+                UNION ALL SELECT 'user_id', user_id FROM src
+                UNION ALL SELECT 'props', props FROM src
+                UNION ALL SELECT 'day', day FROM src
+            )
+            SELECT col_name,
+                   CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(count(*) - count(val) AS BIGINT) AS n_nulls,
+                   CAST(count(DISTINCT val) AS BIGINT) AS n_distinct,
+                   min(val) AS min_val,
+                   max(val) AS max_val
+            FROM long GROUP BY col_name
+        """,
         "tier_routed_read": """
             SELECT event_type,
                    date_trunc('hour', ts) AS bucket_ts,
@@ -4356,9 +4417,12 @@ def oracle_sql() -> dict[str, str]:
         """,
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,
-                   round(sum(l_quantity), 6) AS sum_qty,
-                   round(sum(l_extendedprice), 6) AS sum_base_price,
-                   round(avg(l_discount), 6) AS avg_disc,
+                   CAST(sum(CAST(round(l_quantity * 100) AS BIGINT))
+                        AS DOUBLE) / 100.0 AS sum_qty,
+                   CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                        AS DOUBLE) / 100.0 AS sum_base_price,
+                   CAST(sum(CAST(round(l_discount * 10000) AS BIGINT))
+                        AS DOUBLE) / 10000.0 / count(*) AS avg_disc,
                    count(*) AS count_order
             FROM lineitem
             WHERE l_shipdate <= TIMESTAMP '2024-06-01 00:00:00'
@@ -4366,7 +4430,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "nation_revenue": """
             SELECT n_name,
-                   round(sum(o_totalprice), 6) AS revenue,
+                   CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                        AS DOUBLE) / 100.0 AS revenue,
                    count(*) AS n_orders
             FROM orders
             JOIN customer ON o_custkey = c_custkey

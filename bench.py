@@ -232,6 +232,8 @@ def main():
         # version history (one shuffle), bin-pack compaction with content
         # checksum verification (write + two verify scans each repeat)
         "tier_routed_read", "scd2_build", "compact_tier",
+        # single-pass column profiling (unpivot + grouped aggregate)
+        "table_profile",
     ]
     qs = entrymod.queries()
     for name in bench_queries:

@@ -2,11 +2,20 @@
 on Spark and its oracle_sql() in DuckDB at sf0.01; compare row count, column
 names, and an order-insensitive value hash.
 
-Usage: python tools/check_correctness.py [sf_dir] [query ...]
+Usage: python tools/check_correctness.py [sf_dir] [query ...] [--rtol R]
+
+--rtol R (diagnostic, NOT the driver's semantics): when the exact value
+hash mismatches, fall back to a cell-wise comparison that accepts float
+columns within relative tolerance R (non-float columns still exact, row
+counts/schemas still exact). Used for scale runs on derived data (e.g.
+/tmp/sf1.0) where cross-engine float association at 10x row counts
+produces ulp-level drift the 6-dp canonicalization cannot absorb; the
+sf0.01 driver gate stays bit-exact.
 """
 
 from __future__ import annotations
 
+import os
 import sys
 import time
 
@@ -42,9 +51,47 @@ def value_hash(df: pd.DataFrame) -> int:
     return hash(tuple(rows))
 
 
+def within_rtol(sdf: pd.DataFrame, odf: pd.DataFrame, rtol: float) -> bool:
+    """Cell-wise fallback: float columns within rtol (NaN==NaN), everything
+    else exact, after sorting rows by the non-float columns then values."""
+    import numpy as np
+
+    cols = sorted(sdf.columns)
+    # sort keys: non-float columns first (exact), then floats rounded to 3
+    # decimals as tiebreak — ulp drift must not reorder rows between engines
+    def _sortable(df):
+        out = df[cols].copy()
+        key_cols = []
+        for c in cols:
+            if str(out[c].dtype).startswith("float"):
+                out[f"_k_{c}"] = out[c].round(3)
+                key_cols.append(f"_k_{c}")
+        keys = [c for c in cols if not str(out[c].dtype).startswith("float")]
+        return out.sort_values(keys + key_cols).reset_index(drop=True)[cols]
+
+    sdf = _sortable(sdf)
+    odf = _sortable(odf)
+    for c in cols:
+        if str(sdf[c].dtype).startswith("float"):
+            a = sdf[c].to_numpy(dtype=float)
+            b = odf[c].to_numpy(dtype=float)
+            if not np.allclose(a, b, rtol=rtol, atol=rtol, equal_nan=True):
+                return False
+        else:
+            if not sdf[c].astype(str).equals(odf[c].astype(str)):
+                return False
+    return True
+
+
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = sys.argv[1:]
+    rtol = None
+    if "--rtol" in args:
+        i = args.index("--rtol")
+        rtol = float(args[i + 1])
+        args = args[:i] + args[i + 2:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
 
     import __spark_entry__ as entrymod
     from wavelet_decomposition_spark.plans.session import build_session
@@ -53,9 +100,12 @@ def main():
                           shuffle_partitions=16)
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
-        )
+        # driver testdata ships single files; derived dirs (make_scaled_sf)
+        # are Spark-written directories of part files — glob those
+        path = f"{sf_dir}/{t}.parquet"
+        if os.path.isdir(path):
+            path = f"{path}/*.parquet"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
 
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
@@ -111,6 +161,12 @@ def main():
                     f"dtype kinds {dtype_kinds(sdf)} vs {dtype_kinds(odf)}"
                 )
             if value_hash(sdf) != value_hash(odf):
+                if rtol is not None and within_rtol(sdf, odf, rtol):
+                    print(
+                        f"rtol  {name}: exact hash differs, matches at "
+                        f"rtol={rtol:g} ({el:.1f}s)"
+                    )
+                    continue
                 problems.append("value hash mismatch")
         if problems:
             failures.append((name, "; ".join(problems)))
