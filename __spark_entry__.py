@@ -4155,9 +4155,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "response_latency": _q_response_latency,
         # late round-5 retention-engine additions — inside the driver's
         # 50-query window so their first driver row lands THIS round; this
-        # pushes epn_approx / sketch_quantiles / sketch_distinct /
-        # lttb_downsample (rows-only, locally re-verified green) to the
-        # next rotation
+        # pushes heatmap_scales / epn_approx / sketch_quantiles /
+        # sketch_distinct / lttb_downsample (rows-only, locally re-verified
+        # green) to the next rotation
         "tier_routed_read": _q_tier_routed_read,
         "scd2_build": _q_scd2_build,
         "compact_tier": _q_compact_tier,
