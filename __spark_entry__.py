@@ -290,6 +290,28 @@ def _q_tier_refresh_resume(spark, sf_dir):
     )
 
 
+def _q_scd2_asof_probe(spark, sf_dir):
+    """Point-in-time probe against the SCD2 history (the table's purpose):
+    which version was current for every user at a fixed instant — the
+    half-open intervals guarantee exactly one row per user with history at
+    or before the probe, which the oracle re-derives independently from
+    the same run construction. At scale this is the dimension side of a
+    temporal join: valid_from <= T < valid_to is a pure filter on the
+    versioned table, no window re-evaluation at probe time."""
+    _prep(spark)
+    from wavelet_decomposition_spark.operators.scd import changes_to_scd2
+
+    probe = F.lit("2024-01-15 12:00:00").cast("timestamp_ntz")
+    hist = changes_to_scd2(
+        _events(spark, sf_dir), "user_id", "event_type", "ts",
+        tiebreak="event_id",
+    )
+    return hist.where(
+        (F.col("valid_from") <= probe)
+        & (F.col("valid_to").isNull() | (F.col("valid_to") > probe))
+    ).select("user_id", "version", "event_type", "valid_from", "is_current")
+
+
 def _q_table_profile(spark, sf_dir):
     """Ingest-time column profiling (operators/profile.py): one scan, one
     unpivot, one grouped aggregate — per-column rows/nulls/exact-distinct/
@@ -4163,6 +4185,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "compact_tier": _q_compact_tier,
         "tier_refresh_resume": _q_tier_refresh_resume,
         "table_profile": _q_table_profile,
+        "scd2_asof_probe": _q_scd2_asof_probe,
         # -- (2) oracle queries with no CORRECTNESS_r04 row ----------------
         "weekly_profile": _q_weekly_profile,
         "top_users_per_hour": _q_top_users_per_hour,
@@ -4283,6 +4306,38 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS turns,
                    round(sum(value), 6) AS total_value
             FROM events GROUP BY 1, 2
+        """,
+        "scd2_asof_probe": """
+            WITH flagged AS (
+                SELECT user_id, event_type, ts, event_id,
+                       CASE WHEN row_number() OVER w = 1
+                              OR event_type IS DISTINCT FROM
+                                 lag(event_type) OVER w
+                            THEN 1 ELSE 0 END AS chg
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), runs AS (
+                SELECT user_id, event_type, ts,
+                       CAST(sum(chg) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS version
+                FROM flagged
+            ), grouped AS (
+                SELECT user_id, version, event_type,
+                       min(ts) AS valid_from
+                FROM runs GROUP BY 1, 2, 3
+            ), hist AS (
+                SELECT user_id, version, event_type, valid_from,
+                       lead(valid_from) OVER w2 AS valid_to,
+                       (lead(valid_from) OVER w2 IS NULL) AS is_current
+                FROM grouped
+                WINDOW w2 AS (PARTITION BY user_id ORDER BY valid_from)
+            )
+            SELECT user_id, version, event_type, valid_from, is_current
+            FROM hist
+            WHERE valid_from <= TIMESTAMP '2024-01-15 12:00:00'
+              AND (valid_to IS NULL
+                   OR valid_to > TIMESTAMP '2024-01-15 12:00:00')
         """,
         "table_profile": """
             WITH src AS (

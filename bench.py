@@ -232,8 +232,9 @@ def main():
         # version history (one shuffle), bin-pack compaction with content
         # checksum verification (write + two verify scans each repeat)
         "tier_routed_read", "scd2_build", "compact_tier",
-        # single-pass column profiling (unpivot + grouped aggregate)
-        "table_profile",
+        # single-pass column profiling (unpivot + grouped aggregate) and
+        # the point-in-time probe against the SCD2 history
+        "table_profile", "scd2_asof_probe",
     ]
     qs = entrymod.queries()
     for name in bench_queries:
