@@ -312,6 +312,90 @@ def _q_scd2_asof_probe(spark, sf_dir):
     ).select("user_id", "version", "event_type", "valid_from", "is_current")
 
 
+def _q_tier_retention_expiry(spark, sf_dir):
+    """Retention expiry sweep (io/checkpoint.py expire_tier/apply_retention)
+    — the north rule's tier-expiry clause, driver-exposed. Builds a raw+1h
+    tier store over the 30-day event stream, applies a per-tier policy
+    (raw keeps 7 days, 1h keeps forever) at a fixed 'today', and verifies
+    per tier-day from the store itself: dropped_ok (exactly the days
+    before each tier's cutoff are gone from disk AND from the manifest),
+    survivor_ok (every surviving day's partition still matches its
+    manifest content hash — expiry touched nothing it kept), and
+    refresh_ok (a horizon-filtered refresh after expiry rebuilds
+    nothing — the manifest rewrite is consistent)."""
+    _prep(spark)
+    import os
+    import shutil
+    import tempfile
+
+    from wavelet_decomposition_spark.io import checkpoint as ckpt
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    base = f"{tempfile.gettempdir()}/wds_expiry_{tag}"
+    shutil.rmtree(base, ignore_errors=True)
+    os.makedirs(base)
+    inp = _events(spark, sf_dir).withColumn("day", F.to_date("ts"))
+
+    def compute_raw(day_slice):
+        return day_slice.groupBy(
+            "event_type", F.date_trunc("second", F.col("ts")).alias("bucket_ts")
+        ).agg(F.count(F.lit(1)).alias("turns"))
+
+    def compute_1h(day_slice):
+        return day_slice.groupBy(
+            "event_type", F.date_trunc("hour", F.col("ts")).alias("bucket_ts")
+        ).agg(F.count(F.lit(1)).alias("turns"))
+
+    ckpt.refresh_tier(spark, inp, compute_raw, base, "raw", max_concurrency=4)
+    ckpt.refresh_tier(spark, inp, compute_1h, base, "1h", max_concurrency=4)
+    man_before = {
+        t: ckpt.read_manifest(base, t) for t in ("raw", "1h")
+    }
+    today = "2024-01-31"
+    dropped = ckpt.apply_retention(base, {"raw": 7, "1h": 3650}, today)
+    cutoffs = {"raw": "2024-01-24", "1h": "2021-01-31"}
+
+    rows = []
+    for tier in ("raw", "1h"):
+        man_after = ckpt.read_manifest(base, tier)
+        tier_dir = f"{base}/tier={tier}"
+        on_disk = {
+            e[4:] for e in os.listdir(tier_dir) if e.startswith("day=")
+        }
+        for day, meta in sorted(man_before[tier].items()):
+            expired = day < cutoffs[tier]
+            dropped_ok = (
+                (day in dropped[tier]) == expired
+                and (day in on_disk) != expired
+                and (day in man_after) != expired
+            )
+            if expired:
+                survivor_ok = True  # nothing to compare; gone is correct
+            else:
+                import pyspark.sql.functions as _F
+
+                written = spark.read.parquet(f"{tier_dir}/day={day}")
+                content = written.agg(
+                    _F.sum(
+                        _F.xxhash64(*written.columns).cast("decimal(38,0)")
+                    ).alias("h")
+                ).collect()[0]
+                survivor_ok = str(content["h"]) == man_after[day]["content_hash"]
+            rows.append((tier, day, expired, dropped_ok, survivor_ok))
+
+    # horizon-filtered refresh after expiry must rebuild nothing
+    horizon = inp.filter(F.col("day") >= F.lit(cutoffs["raw"]).cast("date"))
+    refresh_ok = (
+        ckpt.refresh_tier(spark, horizon, compute_raw, base, "raw",
+                          max_concurrency=4) == []
+    )
+    return spark.createDataFrame(
+        [(t, d, e, dok, sok, refresh_ok) for t, d, e, dok, sok in rows],
+        "tier string, day string, expired boolean, dropped_ok boolean, "
+        "survivor_ok boolean, refresh_ok boolean",
+    )
+
+
 def _q_table_profile(spark, sf_dir):
     """Ingest-time column profiling (operators/profile.py): one scan, one
     unpivot, one grouped aggregate — per-column rows/nulls/exact-distinct/
@@ -4186,6 +4270,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tier_refresh_resume": _q_tier_refresh_resume,
         "table_profile": _q_table_profile,
         "scd2_asof_probe": _q_scd2_asof_probe,
+        "tier_retention_expiry": _q_tier_retention_expiry,
         # -- (2) oracle queries with no CORRECTNESS_r04 row ----------------
         "weekly_profile": _q_weekly_profile,
         "top_users_per_hour": _q_top_users_per_hour,

@@ -52,6 +52,7 @@ SIDE_EFFECT = {
     "stream_sessionize_drain", "stream_rollup_drain", "stream_ewma_drain",
     "stream_counter_rate_drain", "stream_dedup_drain", "clustered_layout",
     "freq_items", "tier_routed_read", "compact_tier", "tier_refresh_resume",
+    "tier_retention_expiry",
 }
 
 # queries where a BroadcastNestedLoopJoin is the DESIGNED physical plan:
