@@ -4259,11 +4259,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sliding_distinct": _q_sliding_distinct,
         "sliding_distinct_sketch": _q_sliding_distinct_sketch,
         "response_latency": _q_response_latency,
-        # late round-5 retention-engine additions — inside the driver's
-        # 50-query window so their first driver row lands THIS round; this
-        # pushes heatmap_scales / epn_approx / sketch_quantiles /
-        # sketch_distinct / lttb_downsample (rows-only, locally re-verified
-        # green) to the next rotation
+        # late round-5 additions (retention engine, SCD2, profiling) —
+        # inside the driver's 50-query window so their first driver row
+        # lands THIS round; this pushes reconstruction_roundtrip /
+        # reconstruction_relational / heatmap_scales / epn_approx /
+        # sketch_quantiles / sketch_distinct / lttb_downsample (all
+        # rows-only, locally re-verified green this session) to the next
+        # rotation
         "tier_routed_read": _q_tier_routed_read,
         "scd2_build": _q_scd2_build,
         "compact_tier": _q_compact_tier,
