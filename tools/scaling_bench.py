@@ -12,7 +12,7 @@ SAME stored input, and we report throughput at both plus
 Protocol notes (all deliberate):
 - Each measurement runs in its own subprocess (a JVM's master is fixed at
   startup, so the two parallelism levels cannot share one SparkSession).
-- The flagship runs three times per subprocess (cold + two warm repeats)
+- The flagship runs four times per subprocess (cold + three warm repeats)
   and the BEST warm repeat is the measurement: a production rollup
   pipeline is long-running, so steady state (python workers spawned, code
   JIT'd, input in page cache) is the honest operating point — and this
@@ -167,7 +167,7 @@ def materialize_docs(mult: int) -> str:
 def run_one_dedup(cores: int, docs_path: str) -> None:
     """Measure the 100-TB dedup path (ngram_jaccard_pairs_bounded at its
     0.8 operating point: minhash signatures -> banded LSH candidates ->
-    exact JVM-side verification) at local[cores]: cold + two warm repeats,
+    exact JVM-side verification) at local[cores]: cold + three warm repeats,
     best warm is the measurement (same protocol as the flagship)."""
     from pyspark.sql import functions as F
 
@@ -686,7 +686,22 @@ def main() -> None:
     }
     print(json.dumps(summary))
 
-    with open(os.path.join(REPO, "BENCH.md"), "w") as f:
+    # The flagship block is the file's head; every other mode APPENDS its own
+    # section. Rewriting with mode "w" used to wipe those appended sections
+    # (dedup/relational/GEMM/10x evidence) — preserve everything from the
+    # first appended-section marker onward.
+    bench_path = os.path.join(REPO, "BENCH.md")
+    tail = ""
+    if os.path.exists(bench_path):
+        old = open(bench_path).read()
+        cut = len(old)
+        for marker in ("Round-2 context:", "\n## "):
+            pos = old.find(marker)
+            if pos != -1:
+                cut = min(cut, pos)
+        tail = "\n" + old[cut:].lstrip("\n") if cut < len(old) else ""
+
+    with open(bench_path, "w") as f:
         f.write(
             "# BENCH — scaling-efficiency evidence (north rule)\n\n"
             "No real cluster exists in this sandbox, so per the driver's "
@@ -724,13 +739,14 @@ def main() -> None:
             "JIT'd, input page-cached) is the operating point the "
             "10^12-turn deployment lives at. This sandbox is a shared-host "
             "guest whose identical back-to-back runs differ up to 2-4x "
-            "under neighbor load, so each level runs cold + two warm "
+            "under neighbor load, so each level runs cold + three warm "
             "repeats and the BEST warm repeat is the measurement (all "
             "walls published in the JSON).\n\n"
             "Reproduce: `python tools/scaling_bench.py` "
             "(env `SPARK_GRAFT_SCALE_CONVS` scales the input, "
             "`SPARK_GRAFT_SCALE_LO/HI` pick the core counts).\n\n"
             "```json\n" + json.dumps(summary, indent=2) + "\n```\n"
+            + tail
         )
 
 
