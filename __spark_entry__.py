@@ -1492,6 +1492,163 @@ def _q_interval_union(spark, sf_dir):
     )
 
 
+def _q_ohlc_bars(spark, sf_dir):
+    """Hourly OHLC candles per event type (operators/temporal.py
+    ohlc_bars — the TimescaleDB candlestick_agg / kdb bar primitive):
+    open/close picked by deterministic struct-ordered first/last
+    tie-breaks (earliest ts then smallest value; latest ts then largest),
+    ONE hash aggregate, no window sort. Cross-engine exactness: values
+    are integer cents end to end (min/max/arg-extremes move exact
+    integers; the volume sum is bounded far below 2^53), and the oracle
+    replays the identical (ts, v) tie-break via row_number."""
+    _prep(spark)
+    from wavelet_decomposition_spark.operators.temporal import ohlc_bars
+
+    samples = _events(spark, sf_dir).select(
+        F.col("event_type").alias("series_id"),
+        "ts",
+        F.round(F.col("value") * 100).cast("bigint").alias("v"),
+    )
+    out = ohlc_bars(samples, bucket="1 hour", volume_col="v")
+    return out.select(
+        "series_id",
+        "bucket_ts",
+        F.col("open").alias("open_cents"),
+        F.col("high").alias("high_cents"),
+        F.col("low").alias("low_cents"),
+        F.col("close").alias("close_cents"),
+        "n_samples",
+        F.col("volume").alias("volume_cents"),
+    )
+
+
+def _q_state_durations(spark, sf_dir):
+    """Time-in-state per user (operators/temporal.py state_durations —
+    the TimescaleDB state_agg primitive): each event's type is the user's
+    state until their next event (LOCF; the trailing event's holding time
+    is unknown and excluded, the time_weighted_avg convention). Durations
+    are exact integer microseconds; ``frac`` is ONE division of the same
+    two exact integers in both engines (the denominator telescopes to the
+    user's last ts minus first ts). Equal-timestamp ties order by
+    (ts, state) in both engines — binary-comparable ASCII states."""
+    _prep(spark)
+    from wavelet_decomposition_spark.operators.temporal import (
+        state_durations,
+    )
+
+    samples = _events(spark, sf_dir).select(
+        F.col("user_id").alias("series_id"), "ts",
+        F.col("event_type").alias("state"),
+    )
+    out = state_durations(samples)
+    return out.select(
+        F.col("series_id").alias("user_id"),
+        "state",
+        "total_us",
+        "n_segments",
+        "frac",
+    )
+
+
+def _q_holt_winters(spark, sf_dir):
+    """Additive Holt-Winters fit + 24-step forecast over the per-type
+    hourly activity series (operators/tsfeatures.py holt_winters) — the
+    trend+seasonality forecaster brown_les deliberately stops short of;
+    here the coupled recurrences run vectorized ACROSS hash-bucketed
+    series with the Python loop over time steps only. Rows-only,
+    SELF-VERIFYING three ways: ``dual_ok`` = an independent scalar-loop
+    reference (shifting seasonal list vs ring buffer) agrees with the
+    matrix path on level/trend/sse/every forecast to 1e-9; ``planted_ok``
+    = a PLANTED exactly-periodic trend-free series (v[i] = (i%24)*37 %
+    101 on the same grid) must fit with sse <= 1e-6 and forecast its own
+    next cycle to <= 1e-6 — the classical seeding makes that an exact
+    identity up to float round-trip; ``planted_n_ok`` = all 24 planted
+    forecast rows actually exist (a dropped planted series cannot pass
+    vacuously). ``finite_ok`` pins NaN/inf out of every output."""
+    _prep(spark)
+    from pyspark.sql import Window
+
+    from wavelet_decomposition_spark.operators.tsfeatures import (
+        holt_winters,
+    )
+
+    counts = (
+        _events(spark, sf_dir)
+        .groupBy(
+            F.col("event_type").alias("series_id"),
+            F.date_trunc("hour", F.col("ts")).alias("bucket_ts"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    # bounded scalar collect: the global grid endpoints (2 timestamps)
+    lo, hi = counts.agg(F.min("bucket_ts"), F.max("bucket_ts")).first()
+    grid = (
+        counts.select("series_id")
+        .distinct()
+        .select(
+            "series_id",
+            F.explode(
+                F.sequence(
+                    F.lit(lo), F.lit(hi), F.expr("interval 1 hour")
+                )
+            ).alias("bucket_ts"),
+        )
+    )
+    filled = grid.join(counts, ["series_id", "bucket_ts"], "left").select(
+        "series_id",
+        "bucket_ts",
+        F.coalesce(F.col("n"), F.lit(0)).cast("double").alias("v"),
+    )
+    planted = spark.range(1).select(
+        F.posexplode(
+            F.sequence(F.lit(lo), F.lit(hi), F.expr("interval 1 hour"))
+        ).alias("i", "bucket_ts")
+    ).select(
+        F.lit("__planted_periodic__").alias("series_id"),
+        "bucket_ts",
+        ((F.col("i") % 24) * 37 % 101).cast("double").alias("v"),
+    )
+    out = holt_winters(
+        filled.unionByName(planted),
+        period=24,
+        horizon=24,
+        n_buckets=4,
+    )
+    is_planted = F.col("series_id") == "__planted_periodic__"
+    expected = (
+        ((F.col("n") + F.col("h") - 1) % 24) * 37 % 101
+    ).cast("double")
+    wall = Window.partitionBy(F.lit(1)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return out.select(
+        "series_id",
+        "h",
+        "forecast",
+        "level",
+        "trend",
+        "sse",
+        "n",
+        "dual_ok",
+        (
+            ~is_planted
+            | (
+                (F.abs(F.col("forecast") - expected) <= 1e-6)
+                & (F.col("sse") <= 1e-6)
+            )
+        ).alias("planted_ok"),
+        (
+            F.sum(is_planted.cast("int")).over(wall) == 24
+        ).alias("planted_n_ok"),
+        (
+            ~F.isnan("forecast") & ~F.isnan("level") & ~F.isnan("trend")
+            & ~F.isnan("sse")
+            & (F.abs("forecast") < F.lit(float("inf")))
+            & (F.abs("trend") < F.lit(float("inf")))
+        ).alias("finite_ok"),
+    ).orderBy("series_id", "h")
+
+
 def _q_cohort_retention(spark, sf_dir):
     """Weekly retention triangle (operators/funnel.py cohort_retention):
     users cohorted by the week of their first signup; active in period k
@@ -4244,6 +4401,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """
     return {
         # -- (1) new this round: never driver-checked ---------------------
+        "ohlc_bars": _q_ohlc_bars,
+        "state_durations": _q_state_durations,
+        "holt_winters": _q_holt_winters,
         "lang_id": _q_lang_id,
         "sessionize_skewed": _q_sessionize_skewed,
         "user_profile_skewed": _q_user_profile_skewed,
@@ -5022,6 +5182,54 @@ def oracle_sql() -> dict[str, str]:
                        OVER (ORDER BY step_idx) AS DOUBLE), 1.0)
                        AS conversion_from_prev
             FROM counts
+        """,
+        "ohlc_bars": """
+            WITH s AS (
+                SELECT event_type AS series_id, epoch_us(ts) AS t,
+                       CAST(round(value * 100) AS BIGINT) AS v
+                FROM events),
+            r AS (
+                SELECT series_id, t // 3600000000 AS bkt, t, v,
+                       row_number() OVER (
+                           PARTITION BY series_id, t // 3600000000
+                           ORDER BY t, v) AS rn_o,
+                       row_number() OVER (
+                           PARTITION BY series_id, t // 3600000000
+                           ORDER BY t DESC, v DESC) AS rn_c
+                FROM s)
+            SELECT series_id,
+                   make_timestamp(bkt * 3600000000) AS bucket_ts,
+                   max(CASE WHEN rn_o = 1 THEN v END) AS open_cents,
+                   max(v) AS high_cents,
+                   min(v) AS low_cents,
+                   max(CASE WHEN rn_c = 1 THEN v END) AS close_cents,
+                   count(*) AS n_samples,
+                   CAST(sum(v) AS BIGINT) AS volume_cents
+            FROM r GROUP BY 1, 2
+        """,
+        "state_durations": """
+            WITH s AS (
+                SELECT user_id, epoch_us(ts) AS t, event_type AS state
+                FROM events),
+            seg AS (
+                SELECT user_id, state, t,
+                       lead(t) OVER (
+                           PARTITION BY user_id ORDER BY t, state) AS e
+                FROM s),
+            d AS (
+                SELECT user_id, state, e - t AS dur
+                FROM seg WHERE e IS NOT NULL),
+            k AS (
+                SELECT user_id, state, dur,
+                       CAST(sum(dur) OVER (PARTITION BY user_id)
+                            AS BIGINT) AS kt
+                FROM d)
+            SELECT user_id, state,
+                   CAST(sum(dur) AS BIGINT) AS total_us,
+                   count(*) AS n_segments,
+                   CAST(CAST(sum(dur) AS BIGINT) AS DOUBLE) / max(kt)
+                       AS frac
+            FROM k GROUP BY 1, 2
         """,
         "time_weighted_avg": """
             WITH s AS (

@@ -235,6 +235,11 @@ def main():
         # single-pass column profiling (unpivot + grouped aggregate) and
         # the point-in-time probe against the SCD2 history
         "table_profile", "scd2_asof_probe",
+        # hyperfunction completions: OHLC candles (one hash aggregate,
+        # struct tie-breaks), LOCF time-in-state shares, and additive
+        # Holt-Winters forecasting (bucket-vectorized Arrow recurrence
+        # with in-kernel dual-path verification)
+        "ohlc_bars", "state_durations", "holt_winters",
     ]
     qs = entrymod.queries()
     for name in bench_queries:

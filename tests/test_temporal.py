@@ -315,3 +315,125 @@ def test_interval_union_coverage_properties(spark):
         ):
             mask[a:b] = True
         np.testing.assert_equal(((e - s) // 10**9).sum(), mask.sum())
+
+
+def test_ohlc_matches_brute(spark):
+    from wavelet_decomposition_spark.operators.temporal import ohlc_bars
+
+    df = _samples(seed=9, n=800, n_keys=4)
+    df["v"] = (df["v"] * 100).round().astype(np.int64)
+    out = (
+        ohlc_bars(
+            spark.createDataFrame(df), bucket="1 hour", volume_col="v"
+        )
+        .toPandas()
+        .sort_values(["series_id", "bucket_ts"])
+        .reset_index(drop=True)
+    )
+    t_us = df.ts.astype("int64") // 1000
+    g = df.assign(_b=t_us // 3_600_000_000).sort_values(
+        ["series_id", "_b", "ts", "v"]
+    )
+    exp = {}
+    for (k, bk), gd in g.groupby(["series_id", "_b"]):
+        exp[(k, bk)] = (
+            gd.v.iloc[0],
+            gd.v.max(),
+            gd.v.min(),
+            gd.v.iloc[-1],
+            len(gd),
+            gd.v.sum(),
+        )
+    assert len(out) == len(exp)
+    for _, r in out.iterrows():
+        bk = (r.bucket_ts.value // 1000) // 3_600_000_000
+        o, h, lo, c, n, vol = exp[(r.series_id, bk)]
+        assert (r.open, r.high, r.low, r.close) == (o, h, lo, c)
+        assert r.n_samples == n and r.volume == vol
+
+
+def test_ohlc_tie_breaks_and_partitioning(spark):
+    """Equal-timestamp ties: open takes the SMALLER value at the earliest
+    ts, close the LARGER at the latest — and the answer is identical
+    under any input partitioning."""
+    from wavelet_decomposition_spark.operators.temporal import ohlc_bars
+
+    pdf = pd.DataFrame(
+        {
+            "series_id": np.int64([1, 1, 1, 1]),
+            "ts": pd.to_datetime(
+                [BASE, BASE, BASE + 100, BASE + 100], unit="s"
+            ),
+            "v": [7.0, 3.0, 2.0, 9.0],
+        }
+    )
+    for parts in (1, 5):
+        out = ohlc_bars(
+            spark.createDataFrame(pdf).repartition(parts)
+        ).toPandas()
+        assert len(out) == 1
+        r = out.iloc[0]
+        assert (r.open, r.high, r.low, r.close) == (3.0, 9.0, 2.0, 9.0)
+        assert r.n_samples == 4
+
+
+def test_state_durations_matches_brute(spark):
+    from wavelet_decomposition_spark.operators.temporal import (
+        state_durations,
+    )
+
+    rng = np.random.default_rng(5)
+    n = 500
+    pdf = pd.DataFrame(
+        {
+            "series_id": rng.integers(0, 6, n).astype(np.int64),
+            "ts": pd.to_datetime(
+                BASE + rng.integers(0, 50_000, n), unit="s"
+            ),
+            "state": rng.choice(list("abc"), n),
+        }
+    )
+    out = state_durations(spark.createDataFrame(pdf)).toPandas()
+    exp = {}
+    for k, gd in pdf.groupby("series_id"):
+        gd = gd.sort_values(["ts", "state"], kind="stable")
+        t = gd.ts.astype("int64").to_numpy() // 1000
+        st = gd.state.to_numpy()
+        for i in range(len(gd) - 1):
+            tot, nn = exp.get((k, st[i]), (0, 0))
+            exp[(k, st[i])] = (tot + int(t[i + 1] - t[i]), nn + 1)
+    assert len(out) == len(exp)
+    for _, r in out.iterrows():
+        tot, nn = exp[(r.series_id, r.state)]
+        assert r.total_us == tot and r.n_segments == nn
+    # frac is each state's share of the key's observed span
+    sums = out.groupby("series_id").frac.sum()
+    assert np.allclose(sums, 1.0, atol=1e-9)
+
+
+def test_ohlc_state_plan_shape(spark):
+    """ohlc_bars is ONE hash aggregate (single exchange, map-side
+    partials); state_durations' two windows and its (key, state)
+    aggregate all reuse the one hash(key) exchange — HashPartitioning on
+    a subset of the grouping keys satisfies the aggregate's required
+    distribution, so Catalyst must not insert a second shuffle."""
+    from wavelet_decomposition_spark.operators.temporal import (
+        ohlc_bars,
+        state_durations,
+    )
+
+    df = spark.createDataFrame(_samples())
+    plan = ohlc_bars(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan and "NestedLoop" not in plan
+    assert plan.count("Exchange") <= 1, plan
+
+    sdf = spark.createDataFrame(
+        _samples().rename(columns={"v": "x"}).assign(state="on")[
+            ["series_id", "ts", "state"]
+        ]
+    )
+    plan = state_durations(
+        sdf
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan and "NestedLoop" not in plan
+    assert plan.count("Exchange") <= 1, plan

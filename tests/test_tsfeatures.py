@@ -548,3 +548,120 @@ def test_m4_first_tie_break_is_deterministic(spark):
         ).repartition(3)
         got = m4_downsample(df, value_col="v", bucket="1 hour").collect()[0]
         assert got["first_v"] == 3.0 and got["last_v"] == 4.0
+
+
+def _hw_oracle(xs, m=24, a=0.3, b=0.05, g=0.2, H=24):
+    """Third, index-explicit Holt-Winters reference (full s[t] array,
+    no ring buffer, no shifting list)."""
+    xs = np.asarray(xs, float)
+    T = len(xs)
+    s = np.empty(T)
+    lvl = xs[:m].mean()
+    tr = (xs[m : 2 * m].mean() - lvl) / m
+    s[:m] = xs[:m] - lvl
+    sse = 0.0
+    for t in range(m, T):
+        e = xs[t] - (lvl + tr + s[t - m])
+        sse += e * e
+        nl = a * (xs[t] - s[t - m]) + (1 - a) * (lvl + tr)
+        tr = b * (nl - lvl) + (1 - b) * tr
+        s[t] = g * (xs[t] - nl) + (1 - g) * s[t - m]
+        lvl = nl
+    fc = np.array(
+        [lvl + h * tr + s[T + h - 1 - m] for h in range(1, H + 1)]
+    )
+    return lvl, tr, sse, fc
+
+
+def test_holt_winters_matches_independent_oracle(series_df, series_pdf):
+    from wavelet_decomposition_spark.operators.tsfeatures import (
+        holt_winters,
+    )
+
+    out = holt_winters(series_df, period=24, horizon=24).toPandas()
+    assert out.dual_ok.all()
+    for gname, gd in _per_group(series_pdf):
+        lvl, tr, sse, fc = _hw_oracle(gd.v.to_numpy())
+        got = out[out.series_id == gname].sort_values("h")
+        assert len(got) == 24
+        assert np.allclose(got.level.iloc[0], lvl, rtol=1e-9)
+        assert np.allclose(got.trend.iloc[0], tr, rtol=1e-9)
+        assert np.allclose(got.sse.iloc[0], sse, rtol=1e-9)
+        assert np.allclose(got.forecast.to_numpy(), fc, rtol=1e-9)
+        assert (got.n == len(gd)).all()
+
+
+def test_holt_winters_exact_periodic_is_exact(spark):
+    """An exactly periodic, trend-free series fits with ~zero one-step
+    error under the classical seeding, so the forecast IS the next
+    cycle — the identity the driver's planted gate rides on."""
+    from wavelet_decomposition_spark.operators.tsfeatures import (
+        holt_winters,
+    )
+
+    pat = ((np.arange(24) * 37) % 101).astype(float)
+    xs = np.tile(pat, 4)  # T = 96
+    pdf = pd.DataFrame(
+        {
+            "series_id": "p",
+            "bucket_ts": pd.date_range("2024-01-01", periods=96, freq="h"),
+            "v": xs,
+        }
+    )
+    out = (
+        holt_winters(spark.createDataFrame(pdf), period=24, horizon=24)
+        .toPandas()
+        .sort_values("h")
+    )
+    assert len(out) == 24
+    assert out.dual_ok.all()
+    assert (out.sse < 1e-12).all()
+    assert np.allclose(np.abs(out.trend), 0.0, atol=1e-12)
+    # T % 24 == 0, so forecast h lands on phase (h-1) % 24
+    assert np.allclose(out.forecast.to_numpy(), pat, atol=1e-9)
+
+
+def test_holt_winters_shift_equivariance(spark):
+    """Additive HW is equivariant under a constant shift: every forecast
+    of x + C is the forecast of x plus C (level absorbs the shift;
+    season and trend are differences and cancel it)."""
+    from wavelet_decomposition_spark.operators.tsfeatures import (
+        holt_winters,
+    )
+
+    rng = np.random.default_rng(23)
+    xs = rng.normal(50, 10, 120)
+    ts = pd.date_range("2024-01-01", periods=120, freq="h")
+    base = pd.DataFrame({"series_id": "x", "bucket_ts": ts, "v": xs})
+    shifted = pd.DataFrame(
+        {"series_id": "x", "bucket_ts": ts, "v": xs + 1000.0}
+    )
+    f0 = (
+        holt_winters(spark.createDataFrame(base), period=24)
+        .toPandas()
+        .sort_values("h")
+        .forecast.to_numpy()
+    )
+    f1 = (
+        holt_winters(spark.createDataFrame(shifted), period=24)
+        .toPandas()
+        .sort_values("h")
+        .forecast.to_numpy()
+    )
+    assert np.allclose(f1, f0 + 1000.0, rtol=0, atol=1e-7)
+
+
+def test_holt_winters_short_series_dropped(spark):
+    from wavelet_decomposition_spark.operators.tsfeatures import (
+        holt_winters,
+    )
+
+    pdf = pd.DataFrame(
+        {
+            "series_id": "s",
+            "bucket_ts": pd.date_range("2024-01-01", periods=47, freq="h"),
+            "v": np.arange(47.0),
+        }
+    )
+    out = holt_winters(spark.createDataFrame(pdf), period=24).toPandas()
+    assert len(out) == 0

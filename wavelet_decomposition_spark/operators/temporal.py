@@ -14,6 +14,12 @@ bucket rollup (`operators/rollup.py`) nor a dense-grid window
   (gaps-and-islands): merged spans, their count, and total covered time —
   the standard uptime/coverage primitive over maintenance or session
   windows.
+- ``ohlc_bars``: per-bucket open/high/low/close candles with
+  deterministic first/last tie-breaks (TimescaleDB ``candlestick_agg``,
+  kdb ``xbar`` bars) — a single hash aggregate, no window sort.
+- ``state_durations``: time spent in each state per key under the same
+  LOCF convention as ``time_weighted_avg`` (TimescaleDB ``state_agg``):
+  a row's state holds until the key's next sample.
 
 All three are pure JVM window/aggregate pipelines: ONE exchange on the
 group key (segments, resets, and islands are all lag/running-max
@@ -151,6 +157,104 @@ def counter_rate(
             ),
         )
         .withColumn("rate_per_s", F.col("increase") / (gus / F.lit(1_000_000.0)))
+    )
+
+
+def ohlc_bars(
+    samples: DataFrame,
+    bucket: str = "1 hour",
+    group_col: str = "series_id",
+    ts_col: str = "ts",
+    value_col: str = "v",
+    volume_col: str | None = None,
+) -> DataFrame:
+    """Per-(group, bucket) OHLC candle: ``open`` = value at the bucket's
+    earliest sample, ``high``/``low`` = extremes, ``close`` = value at the
+    latest sample, plus ``n_samples`` (and ``volume`` = sum of
+    ``volume_col`` when given). First/last are DETERMINISTIC under ties:
+    ``min_by(v, struct(ts, v))`` breaks an equal-timestamp tie toward the
+    smaller value and ``max_by(v, struct(ts, v))`` toward the larger — the
+    same struct-ordered tie-break discipline as ``m4_downsample``, so the
+    result is independent of partitioning and input order.
+
+    Shape: ONE hash aggregate keyed (group, bucket) — no window, no sort.
+    ``min_by``/``max_by`` are declarative aggregates with map-side
+    partials, so at 100 TB each task reduces its split to one candle per
+    live (group, bucket) before the single exchange.
+    """
+    gus = _gran_us(bucket)
+    pre = samples.select(
+        group_col,
+        _us(ts_col).alias("_t"),
+        F.col(value_col).alias("_v"),
+        *([F.col(volume_col).alias("_vol")] if volume_col else []),
+    )
+    aggs = [
+        F.min_by("_v", F.struct(F.col("_t"), F.col("_v"))).alias("open"),
+        F.max("_v").alias("high"),
+        F.min("_v").alias("low"),
+        F.max_by("_v", F.struct(F.col("_t"), F.col("_v"))).alias("close"),
+        F.count(F.lit(1)).alias("n_samples"),
+    ]
+    if volume_col:
+        aggs.append(F.sum("_vol").alias("volume"))
+    return pre.groupBy(
+        group_col,
+        F.timestamp_micros(
+            F.floor(F.col("_t") / gus).cast("long") * gus
+        ).alias("bucket_ts"),
+    ).agg(*aggs)
+
+
+def state_durations(
+    samples: DataFrame,
+    group_col: str = "series_id",
+    ts_col: str = "ts",
+    state_col: str = "state",
+) -> DataFrame:
+    """Time spent in each state per key under the LOCF convention: a row's
+    state holds until the key's NEXT sample; the trailing sample
+    contributes nothing (its holding time is unknown — the same convention
+    as ``time_weighted_avg``). Output per (key, state): ``total_us``
+    (exact integer microseconds), ``n_segments``, and ``frac`` — the share
+    of the key's observed span, a single two-integer division (the
+    denominator telescopes to last_ts - first_ts).
+
+    Equal-timestamp ties order by (ts, state), so a doubled instant yields
+    one zero-length segment deterministically in any engine.
+
+    Shape: ONE exchange on the key — the lead window, the key-total
+    window, and the (key, state) hash aggregate all run on the same
+    hash(key) partitioning (``HashPartitioning([key])`` satisfies the
+    aggregate's ``ClusteredDistribution([key, state])``, so Catalyst
+    inserts no second exchange).
+    """
+    w = Window.partitionBy(group_col).orderBy("_t", "_st")
+    seg = (
+        samples.select(
+            group_col,
+            _us(ts_col).alias("_t"),
+            F.col(state_col).alias("_st"),
+        )
+        .withColumn("_e", F.lead("_t").over(w))
+        .where(F.col("_e").isNotNull())
+        .withColumn("_dur", F.col("_e") - F.col("_t"))
+        .withColumn(
+            "_key_total",
+            F.sum("_dur").over(Window.partitionBy(group_col)),
+        )
+    )
+    return (
+        seg.groupBy(group_col, F.col("_st").alias(state_col))
+        .agg(
+            F.sum("_dur").alias("total_us"),
+            F.count(F.lit(1)).alias("n_segments"),
+            F.max("_key_total").alias("_kt"),
+        )
+        .withColumn(
+            "frac", F.col("total_us").cast("double") / F.col("_kt")
+        )
+        .drop("_kt")
     )
 
 
