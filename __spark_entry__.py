@@ -4335,6 +4335,81 @@ def _q_stream_distinct_drain(spark, sf_dir):
     )
 
 
+def _q_stream_ohlc_drain(spark, sf_dir):
+    """Streaming OHLC candles (streaming/facade.py stream_ohlc_1h),
+    driver-exposed: availableNow drain of the event table through the
+    watermarked hourly candle aggregate, then an EXACT comparison of
+    every emitted candle against batch ohlc_bars over the same parquet.
+    min_by/max_by partials merge in the state store exactly like batch
+    map-side partials and every value is integer cents, so equality is
+    bit-for-bit, not approximate: ``exact_ok`` = all six candle fields
+    equal the batch candle; ``emitted_n_ok`` = a real fraction of the
+    month's candles actually emitted (append-mode withholds only windows
+    still inside the 2 h watermark horizon, so a vacuous 0-row pass is
+    impossible)."""
+    _prep(spark)
+    import shutil
+    import tempfile
+
+    from pyspark.sql import Window
+
+    from wavelet_decomposition_spark.operators.temporal import ohlc_bars
+    from wavelet_decomposition_spark.streaming.facade import stream_ohlc_1h
+
+    base = f"{tempfile.gettempdir()}/wds_stream_ohlc_drain"
+    shutil.rmtree(base, ignore_errors=True)
+    in_path, out_path, ckpt = f"{base}/in", f"{base}/out", f"{base}/ckpt"
+    schema = "series_id string, ts timestamp, v long"
+    samples = _events(spark, sf_dir).select(
+        F.col("event_type").alias("series_id"),
+        "ts",
+        F.round(F.col("value") * 100).cast("bigint").alias("v"),
+    )
+    samples.write.mode("overwrite").parquet(in_path)
+    stream_ohlc_1h(
+        spark, in_path, out_path, ckpt, schema
+    ).awaitTermination(300)
+
+    streamed = spark.read.parquet(out_path)
+    batch = ohlc_bars(
+        spark.read.parquet(in_path), bucket="1 hour", volume_col="v"
+    ).select(
+        "series_id",
+        "bucket_ts",
+        F.col("open").alias("b_open"),
+        F.col("high").alias("b_high"),
+        F.col("low").alias("b_low"),
+        F.col("close").alias("b_close"),
+        F.col("n_samples").alias("b_n"),
+        F.col("volume").alias("b_volume"),
+    )
+    n_batch = Window.partitionBy(F.lit(1)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    j = streamed.join(batch, ["series_id", "bucket_ts"], "left")
+    return j.select(
+        "series_id",
+        "bucket_ts",
+        "open",
+        "high",
+        "low",
+        "close",
+        "n_samples",
+        "volume",
+        (
+            (F.col("open") == F.col("b_open"))
+            & (F.col("high") == F.col("b_high"))
+            & (F.col("low") == F.col("b_low"))
+            & (F.col("close") == F.col("b_close"))
+            & (F.col("n_samples") == F.col("b_n"))
+            & (F.col("volume") == F.col("b_volume"))
+        ).alias("exact_ok"),
+        (
+            F.count(F.lit(1)).over(n_batch) >= 100
+        ).alias("emitted_n_ok"),
+    ).orderBy("series_id", "bucket_ts")
+
+
 def _q_stream_rollup_drain(spark, sf_dir):
     """Streaming 1m-tier facade, driver-exposed: availableNow drain of a
     transcript snapshot through stream_rollup_1m, then an exact comparison
@@ -4404,6 +4479,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ohlc_bars": _q_ohlc_bars,
         "state_durations": _q_state_durations,
         "holt_winters": _q_holt_winters,
+        "stream_ohlc_drain": _q_stream_ohlc_drain,
         "lang_id": _q_lang_id,
         "sessionize_skewed": _q_sessionize_skewed,
         "user_profile_skewed": _q_user_profile_skewed,

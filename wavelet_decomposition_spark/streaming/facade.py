@@ -143,3 +143,69 @@ def stream_dedup(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_ohlc_1h(
+    spark: SparkSession,
+    input_path: str,
+    output_path: str,
+    checkpoint_path: str,
+    schema: str,
+    watermark: str = "2 hours",
+    bucket: str = "1 hour",
+    group_col: str = "series_id",
+    ts_col: str = "ts",
+    value_col: str = "v",
+):
+    """File-source stream -> per-(group, window) OHLC candle sink: the
+    streaming twin of ``operators/temporal.py ohlc_bars`` with the SAME
+    deterministic struct tie-breaks. ``min_by``/``max_by`` are
+    declarative aggregates with a merge, so the state store composes
+    incremental partials exactly like the batch map-side partials — any
+    emitted candle is bit-identical to the batch candle over the same
+    rows (exact when the caller feeds integer values), which the driver
+    drain asserts. The watermark bounds candle state lifetime; append
+    mode emits a candle once its window can no longer change, so a
+    restart continues from checkpointed state without re-emitting."""
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(input_path)
+        .withWatermark(ts_col, watermark)
+    )
+    pre = stream.select(
+        group_col,
+        ts_col,
+        F.unix_micros(F.col(ts_col)).alias("_t"),
+        F.col(value_col).alias("_v"),
+    )
+    agg = (
+        pre.groupBy(group_col, F.window(ts_col, bucket).alias("w"))
+        .agg(
+            F.min_by("_v", F.struct(F.col("_t"), F.col("_v"))).alias("open"),
+            F.max("_v").alias("high"),
+            F.min("_v").alias("low"),
+            F.max_by("_v", F.struct(F.col("_t"), F.col("_v"))).alias(
+                "close"
+            ),
+            F.count(F.lit(1)).alias("n_samples"),
+            F.sum("_v").alias("volume"),
+        )
+        .select(
+            group_col,
+            F.col("w.start").alias("bucket_ts"),
+            "open",
+            "high",
+            "low",
+            "close",
+            "n_samples",
+            "volume",
+        )
+    )
+    return (
+        agg.writeStream.format("parquet")
+        .option("path", output_path)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
