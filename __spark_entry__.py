@@ -3635,6 +3635,237 @@ def _q_dwt_energy(spark, sf_dir):
     )
 
 
+def _q_tier_wavelet_parity(spark, sf_dir):
+    """Wavelet coefficient + point parity at EVERY retention tier — the
+    north metric's "coefficient/point parity vs reference at every
+    retention tier" clause, driver-exposed in one query.
+
+    The rollup cascade raw -> 1m -> 1h -> 1d (operators/rollup.py) is
+    built, each tier is zero-gap-filled at its own grid step, and the
+    Haar pyramid runs over each tier's dyadic windows TWICE through
+    disjoint computation paths: the production Arrow numpy kernel
+    (wavelet_ops.dwt_windows, kernel/dwt.py) and a pure-JVM closed-form
+    relational pyramid (wavelet_ops.haar_dwt_relational — one explode +
+    one hash aggregate, no Python stage). Every coefficient of every
+    tier must agree to 1e-9 relative.
+
+    Invariants riding each output row (one per tier x level x band):
+    ``parity_ok``  — max |kernel - closed form| <= 1e-9 * max |coef|;
+    ``coverage_ok`` — no closed-form coefficient falls outside the
+    kernel's coefficient grid (windowing drift detector);
+    ``cascade_ok`` — POINT parity: the 1h and 1d tiers built from the
+    cascade equal the same tiers aggregated straight from raw, exactly
+    (integer counts; full-outer null-safe comparison finds any drift).
+    """
+    _prep(spark)
+    from wavelet_decomposition_spark.io.transcripts import transcripts_df
+    from wavelet_decomposition_spark.operators import (
+        activity,
+        gapfill,
+        rollup,
+        wavelet_ops,
+    )
+
+    tx = transcripts_df(spark, 100, seed=42)
+    raw = activity.activity_raw(tx).cache()
+    tiers = rollup.build_tiers(raw)
+    for t in ("1m", "1h", "1d"):
+        tiers[t] = tiers[t].cache()
+    cfg = {"1m": ("1 minute", 64, 4), "1h": ("1 hour", 32, 4),
+           "1d": ("1 day", 8, 3)}
+    keys = ["conv_id", "window_id", "level", "k", "coef_type"]
+    cols = activity.ACTIVITY_COUNT_COLS
+    parts = []
+    for tier, (step, wlen, levels) in cfg.items():
+        filled = gapfill.gapfill_zero(tiers[tier], cols, step=step).cache()
+        kern = wavelet_ops.dwt_windows(
+            filled, "turns", "haar", levels=levels, window_len=wlen
+        )
+        rel = wavelet_ops.haar_dwt_relational(
+            filled, "turns", levels=levels, window_len=wlen
+        ).withColumnRenamed("coef", "rel_coef")
+        j = kern.join(rel, keys, "left")
+        uncov = rel.join(kern, keys, "left_anti").agg(
+            F.count(F.lit(1)).alias("_uncov")
+        )
+        parts.append(
+            j.groupBy("level", "coef_type")
+            .agg(
+                F.count(F.lit(1)).alias("n_coefs"),
+                F.max(
+                    F.abs(F.col("coef") - F.coalesce("rel_coef", F.lit(0.0)))
+                ).alias("max_abs_err"),
+                F.max(F.abs("coef")).alias("_max_c"),
+            )
+            .crossJoin(F.broadcast(uncov))
+            .select(
+                F.lit(tier).alias("tier"),
+                "level",
+                "coef_type",
+                "n_coefs",
+                "max_abs_err",
+                (
+                    F.col("max_abs_err")
+                    <= 1e-9 * F.greatest(F.lit(1.0), F.col("_max_c"))
+                ).alias("parity_ok"),
+                (F.col("_uncov") == 0).alias("coverage_ok"),
+            )
+        )
+    out = parts[0].unionByName(parts[1]).unionByName(parts[2])
+    # point parity: cascade tier == direct-from-raw tier, exactly
+    bads = []
+    for tier in ("1h", "1d"):
+        d = rollup.rollup_direct(raw, tier).select(
+            "conv_id", "bucket_ts",
+            *[F.col(c).alias(f"d_{c}") for c in cols],
+        )
+        diff = " OR ".join(f"{c} IS DISTINCT FROM d_{c}" for c in cols)
+        bads.append(
+            tiers[tier]
+            .join(d, ["conv_id", "bucket_ts"], "full_outer")
+            .where(F.expr(diff))
+            .agg(F.count(F.lit(1)).alias(f"_bad_{tier}"))
+        )
+    casc = bads[0].crossJoin(bads[1]).select(
+        ((F.col("_bad_1h") == 0) & (F.col("_bad_1d") == 0)).alias(
+            "cascade_ok"
+        )
+    )
+    return out.crossJoin(F.broadcast(casc)).orderBy(
+        "tier", "level", "coef_type"
+    )
+
+
+def _q_matrix_profile(spark, sf_dir):
+    """Matrix-profile motif + discord discovery (operators/motif.py —
+    Yeh et al. ICDM'16) over the hourly series, PLUS a planted series
+    that makes the result falsifiable three ways.
+
+    The planted series (480 hourly points) is a daily sine pattern with
+    a deterministic jitter, an IDENTICAL uncommon 24-point segment
+    planted at positions 72 and 336 (so the true top motif pair is
+    exactly (72, 336) at z-distance 0), and a unique linear ramp at
+    240..263 (so the true top discord must overlap it). Invariants on
+    every row: ``planted_motif_ok`` (reported motif pair == {72, 336},
+    dist <= 1e-6), ``planted_discord_ok`` (reported discord start within
+    the ramp's overlap range), and ``recompute_ok`` — the reported motif
+    AND discord distances are RECOMPUTED through a pure relational path
+    (explode the window offsets, equi-join back to the points, one
+    aggregate computing the z-normalized correlation distance) and must
+    match the GEMM kernel to 1e-6, with a count gate so the planted rows
+    cannot vanish vacuously."""
+    _prep(spark)
+    import math
+
+    from wavelet_decomposition_spark.operators import motif
+
+    m = 24
+    # --- planted series ------------------------------------------------
+    i = F.col("id")
+    day = 10.0 + 3.0 * F.sin(
+        (i % 24).cast("double") * F.lit(2.0 * math.pi / 24)
+    )
+    # non-affine deterministic jitter: an affine-in-i jitter (e.g. a
+    # modular ramp) makes lag-24 day windows exact affine translates of
+    # each other, which z-normalization maps to distance EXACTLY 0 —
+    # stealing the motif from the plant. An incommensurate sine breaks
+    # every translate: phase drifts 24*0.7919 mod 2pi ~ 0.156 rad per day
+    jitter = 0.1 * F.sin(i.cast("double") * 0.7919)
+    seg = lambda k: 30.0 + ((k * k * 7) % 17).cast("double") * 1.5  # noqa: E731
+    ramp = lambda k: k.cast("double") * (80.0 / 23.0)  # noqa: E731
+    planted = spark.range(480).select(
+        F.lit("planted").alias("series_id"),
+        i.cast("int").alias("pos"),
+        F.timestamp_seconds(F.lit(1767225600) + i * 3600).alias(
+            "bucket_ts"
+        ),
+        F.when(i.between(72, 95), seg(i - 72))
+        .when(i.between(336, 359), seg(i - 336))
+        .when(i.between(240, 263), ramp(i - 240))
+        .otherwise(day + jitter)
+        .alias("v"),
+    )
+    top_p = motif.top_motif_discord(
+        motif.matrix_profile(planted, m=m)
+    ).cache()
+    # --- relational recompute of both reported distances ---------------
+    pairs = top_p.select(
+        "kind", "idx", "nn_idx", "mp_dist",
+        F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("off"),
+    )
+    pts = planted.select("pos", "v")
+    j = (
+        pairs.join(pts, pairs.idx + F.col("off") == pts.pos)
+        .withColumnRenamed("v", "va")
+        .drop("pos")
+        .join(
+            pts.withColumnRenamed("v", "vb").withColumnRenamed(
+                "pos", "pb"
+            ),
+            F.col("nn_idx") + F.col("off") == F.col("pb"),
+        )
+    )
+    zdot = (
+        F.sum(F.col("va") * F.col("vb"))
+        - F.count(F.lit(1)) * F.avg("va") * F.avg("vb")
+    ) / (F.stddev_pop("va") * F.stddev_pop("vb"))
+    rel = j.groupBy("kind", "mp_dist").agg(
+        F.sqrt(
+            F.greatest(F.lit(0.0), 2.0 * (F.lit(float(m)) - zdot))
+        ).alias("rel_dist")
+    )
+    inv = rel.agg(
+        (
+            (F.count(F.lit(1)) == 2)
+            & (
+                F.max(F.abs(F.col("rel_dist") - F.col("mp_dist")))
+                <= 1e-6
+            )
+        ).alias("recompute_ok")
+    )
+    checks = (
+        top_p.groupBy()
+        .agg(
+            F.max(
+                F.when(
+                    F.col("kind") == "motif",
+                    (
+                        (
+                            (F.col("idx") == 72)
+                            & (F.col("nn_idx") == 336)
+                        )
+                        | (
+                            (F.col("idx") == 336)
+                            & (F.col("nn_idx") == 72)
+                        )
+                    )
+                    & (F.col("mp_dist") <= 1e-6),
+                )
+            ).alias("planted_motif_ok"),
+            F.max(
+                F.when(
+                    F.col("kind") == "discord",
+                    F.col("idx").between(240 - (m - 1), 263),
+                )
+            ).alias("planted_discord_ok"),
+        )
+        .crossJoin(F.broadcast(inv))
+    )
+    # --- real series alongside the plant -------------------------------
+    top_r = motif.top_motif_discord(
+        motif.matrix_profile(_hourly_series(spark, sf_dir), m=m)
+    )
+    return (
+        top_r.unionByName(top_p)
+        .crossJoin(F.broadcast(checks))
+        .select(
+            "series_id", "kind", "idx", "nn_idx", "mp_dist", "start_ts",
+            "planted_motif_ok", "planted_discord_ok", "recompute_ok",
+        )
+        .orderBy("series_id", "kind")
+    )
+
+
 def _q_modwt_energy(spark, sf_dir):
     """MODWT (shift-equivariant, undecimated) energy spectrum with the same
     Parseval self-check as dwt_energy — MODWT's scaled filters conserve
@@ -4480,6 +4711,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "state_durations": _q_state_durations,
         "holt_winters": _q_holt_winters,
         "stream_ohlc_drain": _q_stream_ohlc_drain,
+        "tier_wavelet_parity": _q_tier_wavelet_parity,
+        "matrix_profile": _q_matrix_profile,
         "lang_id": _q_lang_id,
         "sessionize_skewed": _q_sessionize_skewed,
         "user_profile_skewed": _q_user_profile_skewed,

@@ -240,6 +240,13 @@ def main():
         # Holt-Winters forecasting (bucket-vectorized Arrow recurrence
         # with in-kernel dual-path verification)
         "ohlc_bars", "state_durations", "holt_winters",
+        # per-tier wavelet parity: the full rollup cascade + dual-path
+        # Haar pyramid (Arrow kernel vs closed-form relational) at all
+        # three retention tiers, plus cascade-vs-direct point parity
+        "tier_wavelet_parity",
+        # matrix-profile motif/discord discovery (blocked GEMM per
+        # bounded series group + planted-series + relational recompute)
+        "matrix_profile",
     ]
     qs = entrymod.queries()
     for name in bench_queries:

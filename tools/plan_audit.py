@@ -71,6 +71,10 @@ DESIGNED_BNL = {
     "cms_heavy_hitters",
     # 1-row broadcast (n_docs_in, tok_in) coverage-invariant join
     "pack_sequences",
+    # 1-row broadcast coverage/cascade invariant joins (per-tier counts)
+    "tier_wavelet_parity",
+    # 1-row broadcast planted-motif/discord + recompute invariant joins
+    "matrix_profile",
 }
 
 

@@ -214,6 +214,92 @@ def dwt_windows(
     )
 
 
+def haar_dwt_relational(
+    filled: DataFrame,
+    value_col: str,
+    levels: int,
+    window_len: int,
+    group_col: str = "conv_id",
+    ts_col: str = "bucket_ts",
+) -> DataFrame:
+    """Closed-form Haar pyramid as PURE relational ops — the independent
+    verification twin of ``dwt_windows(wavelet='haar')``.
+
+    Haar's level-``l`` detail coefficient over a dyadic window is the
+    closed form ``2^(-l/2) * (sum of the block's first half - sum of its
+    second half)`` and the final approximation is ``2^(-L/2) * block
+    sum`` (the 2-tap filter never wraps, so periodization is invisible).
+    That makes the whole pyramid expressible as ONE explode (``levels+1``
+    signed contributions per input point, each tagged with its
+    ``(level, k, coef_type)``) followed by ONE hash aggregate — no
+    Python stage anywhere, a completely disjoint computation path from
+    the ``applyInPandas`` numpy kernel it verifies. Signed contributions
+    are summed in the value column's own (integer) type, so for count
+    series the block sums are exact and the only float op is the final
+    ``2^(-l/2)`` scaling.
+
+    Output matches COEF_SCHEMA minus the ``wavelet`` column. Blocks with
+    no surviving input rows (zero-padded tail positions the kernel
+    materializes as explicit 0.0 coefficients) emit NO row here — callers
+    compare with a left join and ``coalesce(rel_coef, 0)``.
+    """
+    if window_len % (2**levels):
+        raise ValueError("window_len must be divisible by 2**levels")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group_col).orderBy(ts_col)
+    pos = F.row_number().over(w) - 1
+    base = filled.select(
+        group_col,
+        F.floor(pos / window_len).cast("int").alias("window_id"),
+        (pos % window_len).alias("_p"),
+        F.col(value_col).alias("_v"),
+    )
+    entries = []
+    for lvl in range(1, levels + 1):
+        blk, half = 2**lvl, 2 ** (lvl - 1)
+        entries.append(
+            F.struct(
+                F.lit(lvl).alias("level"),
+                F.floor(F.col("_p") / blk).cast("int").alias("k"),
+                F.lit("detail").alias("coef_type"),
+                F.when(F.col("_p") % blk < half, F.col("_v"))
+                .otherwise(-F.col("_v"))
+                .alias("sv"),
+            )
+        )
+    entries.append(
+        F.struct(
+            F.lit(levels).alias("level"),
+            F.floor(F.col("_p") / (2**levels)).cast("int").alias("k"),
+            F.lit("approx").alias("coef_type"),
+            F.col("_v").alias("sv"),
+        )
+    )
+    return (
+        base.select(
+            group_col,
+            "window_id",
+            F.explode(F.array(*entries)).alias("e"),
+        )
+        .groupBy(
+            group_col, "window_id", "e.level", "e.coef_type", "e.k"
+        )
+        .agg(F.sum("e.sv").alias("_s"))
+        .select(
+            group_col,
+            "window_id",
+            "level",
+            F.col("k").cast("int").alias("k"),
+            "coef_type",
+            (
+                F.col("_s")
+                * F.pow(F.lit(2.0), -F.col("level") / F.lit(2.0))
+            ).alias("coef"),
+        )
+    )
+
+
 def energy_spectrum(coefs: DataFrame) -> DataFrame:
     """Per-scale energy — relational aggregation over the coefficient table
     (sum of squares; Parseval ties the total to the input energy).
