@@ -1550,6 +1550,52 @@ def _q_state_durations(spark, sf_dir):
     )
 
 
+def _q_sax_words(spark, sf_dir):
+    """PAA + SAX symbolic downsampling (operators/sax.py — Lin et al.
+    2003): each per-type hourly series is cut into tumbling 64-bucket
+    windows, PAA-reduced to 8 segment means, z-normalized against the
+    whole series' moments, and discretized onto a 5-letter alphabet via
+    equiprobable N(0,1) breakpoints — one 8-letter word per window, the
+    discrete index key for motif counting / rare-word anomaly detection.
+
+    Cross-engine exactness (fully DuckDB-oracle-checked): the series is
+    quantized to exact integer MILLI-units first (sum of integer cents
+    scaled by 10, floored — values <= 5.7e5, so sums-of-squares stay
+    under 2^53 and are exact BIGINTs in both engines). Every downstream
+    float op — mu = S/n, sd = sqrt(max(SS/n - mu^2, 0)), z =
+    (paa - mu)/sd — is the identical IEEE sequence on exact integer
+    inputs, so the z-scores and therefore the DISCRETE SYMBOLS are
+    bit-identical cross-engine; the breakpoints are irrational N(0,1)
+    quantiles a quotient of integers never lands on exactly.
+    """
+    _prep(spark)
+    from wavelet_decomposition_spark.operators.sax import sax_words
+
+    hr = (
+        _events(spark, sf_dir)
+        .groupBy(
+            F.col("event_type").alias("series_id"),
+            F.date_trunc("hour", F.col("ts")).alias("bucket_ts"),
+        )
+        .agg(
+            F.sum(F.round(F.col("value") * 100).cast("bigint")).alias(
+                "_cents"
+            ),
+            F.count(F.lit(1)).alias("_nev"),
+        )
+        .select(
+            "series_id",
+            "bucket_ts",
+            F.floor(
+                F.col("_cents").cast("double") * 10.0 / F.col("_nev")
+            ).alias("vm"),
+        )
+    )
+    return sax_words(
+        hr, "vm", window_len=64, n_segments=8, alphabet=5
+    ).orderBy("series_id", "window_id")
+
+
 def _q_holt_winters(spark, sf_dir):
     """Additive Holt-Winters fit + 24-step forecast over the per-type
     hourly activity series (operators/tsfeatures.py holt_winters) — the
@@ -4713,6 +4759,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_ohlc_drain": _q_stream_ohlc_drain,
         "tier_wavelet_parity": _q_tier_wavelet_parity,
         "matrix_profile": _q_matrix_profile,
+        "sax_words": _q_sax_words,
         "lang_id": _q_lang_id,
         "sessionize_skewed": _q_sessionize_skewed,
         "user_profile_skewed": _q_user_profile_skewed,
@@ -4862,6 +4909,57 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS turns,
                    round(sum(value), 6) AS total_value
             FROM events GROUP BY 1, 2
+        """,
+        "sax_words": """
+            WITH hr AS (SELECT event_type AS series_id,
+                               date_trunc('hour', ts) AS bucket_ts,
+                               CAST(floor(
+                                   CAST(sum(CAST(round(value * 100)
+                                            AS BIGINT)) AS DOUBLE)
+                                   * 10.0 / count(*)) AS BIGINT) AS vm
+                        FROM events GROUP BY 1, 2),
+            stats AS (SELECT series_id,
+                             CAST(sum(vm) AS DOUBLE) AS gs,
+                             CAST(sum(vm * vm) AS DOUBLE) AS gss,
+                             count(*) AS gn
+                      FROM hr GROUP BY 1),
+            pos AS (SELECT series_id, bucket_ts, vm,
+                           row_number() OVER (PARTITION BY series_id
+                                              ORDER BY bucket_ts) - 1 AS p
+                    FROM hr),
+            seg AS (SELECT series_id,
+                           CAST(floor(p / 64.0) AS INT) AS window_id,
+                           CAST(floor((p % 64) / 8.0) AS INT) AS seg_id,
+                           CAST(sum(vm) AS DOUBLE) AS s,
+                           count(*) AS n,
+                           min(bucket_ts) AS t0
+                    FROM pos GROUP BY 1, 2, 3),
+            z AS (SELECT g.series_id, g.window_id, g.seg_id, g.t0, g.n,
+                         CASE WHEN sqrt(greatest(
+                                  st.gss / st.gn
+                                  - (st.gs / st.gn) * (st.gs / st.gn),
+                                  0.0)) = 0.0 THEN 0.0
+                              ELSE (g.s / g.n - st.gs / st.gn)
+                                   / sqrt(greatest(
+                                         st.gss / st.gn
+                                         - (st.gs / st.gn)
+                                           * (st.gs / st.gn),
+                                         0.0))
+                         END AS z
+                  FROM seg g JOIN stats st USING (series_id)),
+            sym AS (SELECT series_id, window_id, seg_id, t0, n,
+                           CASE WHEN z < -0.8416212335729142 THEN 'a'
+                                WHEN z < -0.2533471031357997 THEN 'b'
+                                WHEN z <  0.2533471031357997 THEN 'c'
+                                WHEN z <  0.8416212335729142 THEN 'd'
+                                ELSE 'e' END AS sy
+                    FROM z)
+            SELECT series_id, window_id,
+                   min(t0) AS window_start,
+                   string_agg(sy, '' ORDER BY seg_id) AS word,
+                   CAST(sum(n) AS BIGINT) AS n_pts
+            FROM sym GROUP BY 1, 2 HAVING sum(n) = 64
+            ORDER BY series_id, window_id
         """,
         "scd2_asof_probe": """
             WITH flagged AS (
