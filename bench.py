@@ -247,6 +247,9 @@ def main():
         # matrix-profile motif/discord discovery (blocked GEMM per
         # bounded series group + planted-series + relational recompute)
         "matrix_profile",
+        # PAA+SAX symbolic words (pure-JVM relational, oracle-checked
+        # down to the discrete symbols)
+        "sax_words",
     ]
     qs = entrymod.queries()
     for name in bench_queries:
