@@ -1550,6 +1550,150 @@ def _q_state_durations(spark, sf_dir):
     )
 
 
+def _q_pagerank(spark, sf_dir):
+    """PageRank power iteration (operators/pagerank.py) over the
+    customer->supplier order-flow graph (orders x lineitem), plus a
+    planted star graph with a CLOSED-FORM fixed point that makes the
+    result falsifiable to first principles.
+
+    Rows-only, SELF-VERIFYING four ways:
+    ``mass_ok`` — dangling-mass redistribution keeps total rank mass
+    exactly 1 (|sum - 1| <= 1e-9) on the real graph;
+    ``contract_ok`` — the power iteration is a contraction, so one MORE
+    relational update step applied to the returned ranks must not
+    increase the L1 delta beyond the reported final delta;
+    ``planted_ok`` — on a planted 10-spoke star at damping 0.5 the
+    exact fixed point is hub = 3/8, spoke = 1/16 (closed form h =
+    b(1+dK)/(1 - d(dK+1)/N), b=(1-d)/N): every rank must match to
+    1e-7 after 30 fixed iterations (contraction bound 0.5^30 ~ 1e-9);
+    ``planted_sym_ok`` — the 10 spokes are exchangeable, so their
+    ranks must agree to 1e-12.
+    """
+    _prep(spark)
+    from wavelet_decomposition_spark.operators.pagerank import pagerank
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_custkey"
+    )
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_suppkey"
+    )
+    edges = orders.join(
+        li, orders.o_orderkey == li.l_orderkey
+    ).select(
+        F.col("o_custkey").alias("src"), F.col("l_suppkey").alias("dst")
+    )
+    pr = pagerank(edges, damping=0.85, max_iter=12, tol=1e-6).cache()
+    mass = pr.agg(
+        (F.abs(F.sum("rank") - 1.0) <= 1e-9).alias("mass_ok"),
+        F.sum(F.when(F.col("outdeg") == 0, F.col("rank"))).alias("_dm"),
+        F.count(F.lit(1)).alias("_n"),
+        F.max("delta_l1").alias("_dl"),
+    )
+    # one more relational update step on the returned ranks — walking
+    # the ACTUAL edge list — must not increase the L1 delta beyond the
+    # reported final delta (power iteration is a contraction)
+    inflow = (
+        edges.distinct()
+        .join(
+            pr.select(
+                F.col("node").alias("src"),
+                F.when(
+                    F.col("outdeg") > 0, F.col("rank") / F.col("outdeg")
+                )
+                .otherwise(F.lit(0.0))
+                .alias("_c"),
+            ),
+            "src",
+        )
+        .groupBy(F.col("dst").alias("node"))
+        .agg(F.sum("_c").alias("_in"))
+    )
+    stepped = (
+        pr.join(inflow, "node", "left")
+        .crossJoin(F.broadcast(mass))
+        .select(
+            "mass_ok",
+            F.abs(
+                (
+                    (1.0 - 0.85) / F.col("_n")
+                    + 0.85
+                    * (
+                        F.coalesce("_in", F.lit(0.0))
+                        + F.coalesce("_dm", F.lit(0.0)) / F.col("_n")
+                    )
+                )
+                - F.col("rank")
+            ).alias("_ch"),
+            "_dl",
+        )
+        .agg(
+            F.min("mass_ok").alias("mass_ok"),
+            (
+                F.sum("_ch") <= F.max("_dl") + F.lit(1e-12)
+            ).alias("contract_ok"),
+        )
+    )
+    # planted star: spokes 2..11 each -> hub 1; hub dangles
+    star = spark.range(2, 12).select(
+        F.col("id").alias("src"), F.lit(1).alias("dst")
+    )
+    k, d, n_nodes = 10.0, 0.5, 11.0
+    b = (1.0 - d) / n_nodes
+    hub_exp = b * (1.0 + d * k) / (1.0 - d * (d * k + 1.0) / n_nodes)
+    spoke_exp = b + d * hub_exp / n_nodes
+    ps = pagerank(star, damping=d, max_iter=30, tol=0.0)
+    planted = ps.agg(
+        (
+            F.max(
+                F.abs(
+                    F.col("rank")
+                    - F.when(F.col("node") == 1, hub_exp).otherwise(
+                        spoke_exp
+                    )
+                )
+            )
+            <= 1e-7
+        ).alias("planted_ok"),
+        (
+            F.max(F.when(F.col("node") != 1, F.col("rank")))
+            - F.min(F.when(F.col("node") != 1, F.col("rank")))
+            <= 1e-12
+        ).alias("planted_sym_ok"),
+    )
+    top = (
+        pr.orderBy(F.desc("rank"), "node")
+        .limit(20)
+        .select("node", "rank", "outdeg", "n_iter", "delta_l1")
+    )
+    return (
+        top.crossJoin(F.broadcast(stepped))
+        .crossJoin(F.broadcast(planted))
+        .orderBy(F.desc("rank"), "node")
+    )
+
+
+def _q_inverted_index(spark, sf_dir):
+    """Blocked inverted-index build (operators/invindex.py): per term,
+    document frequency, collection frequency, and the posting list as
+    delta-encoded doc-id gaps (Lucene's d-gap layout), sharded into
+    64-posting blocks so no output row is ever unbounded — the
+    stopword-posting-list OOM guard that matters at 10^9 docs.
+
+    Fully DuckDB-oracle-checked bit-for-bit: the index is all integers
+    and strings (gap/tf lists ship comma-joined in ascending doc-id
+    order; identical regex tokenization `[^a-z0-9]+` both engines).
+    """
+    _prep(spark)
+    from wavelet_decomposition_spark.operators.invindex import (
+        inverted_index,
+    )
+
+    return inverted_index(_docs(spark, sf_dir), block_size=64).orderBy(
+        "term", "block_id"
+    )
+
+
 def _q_sax_words(spark, sf_dir):
     """PAA + SAX symbolic downsampling (operators/sax.py — Lin et al.
     2003): each per-type hourly series is cut into tumbling 64-bucket
@@ -4760,6 +4904,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tier_wavelet_parity": _q_tier_wavelet_parity,
         "matrix_profile": _q_matrix_profile,
         "sax_words": _q_sax_words,
+        "inverted_index": _q_inverted_index,
+        "pagerank": _q_pagerank,
         "lang_id": _q_lang_id,
         "sessionize_skewed": _q_sessionize_skewed,
         "user_profile_skewed": _q_user_profile_skewed,
@@ -4909,6 +5055,33 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS turns,
                    round(sum(value), 6) AS total_value
             FROM events GROUP BY 1, 2
+        """,
+        "inverted_index": """
+            WITH toks AS (SELECT doc_id,
+                                 unnest(string_split_regex(
+                                     lower(text), '[^a-z0-9]+')) AS term
+                          FROM documents),
+            tf AS (SELECT term, doc_id, count(*) AS tf
+                   FROM toks WHERE term <> '' GROUP BY 1, 2),
+            g AS (SELECT term, doc_id, tf,
+                         doc_id - lag(doc_id, 1, 0) OVER w AS gap,
+                         CAST(floor((row_number() OVER w - 1) / 64.0)
+                              AS INT) AS block_id,
+                         count(*) OVER (PARTITION BY term) AS df,
+                         CAST(sum(tf) OVER (PARTITION BY term)
+                              AS BIGINT) AS cf
+                  FROM tf
+                  WINDOW w AS (PARTITION BY term ORDER BY doc_id))
+            SELECT term, block_id,
+                   min(df) AS df, min(cf) AS cf,
+                   min(doc_id) AS first_doc,
+                   count(*) AS n_postings,
+                   string_agg(CAST(gap AS VARCHAR), ','
+                              ORDER BY doc_id) AS gaps,
+                   string_agg(CAST(tf AS VARCHAR), ','
+                              ORDER BY doc_id) AS tfs
+            FROM g GROUP BY 1, 2
+            ORDER BY term, block_id
         """,
         "sax_words": """
             WITH hr AS (SELECT event_type AS series_id,
