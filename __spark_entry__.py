@@ -1550,6 +1550,92 @@ def _q_state_durations(spark, sf_dir):
     )
 
 
+def _q_bm25_topk(spark, sf_dir):
+    """BM25 ranked retrieval (operators/invindex.py bm25_topk —
+    Robertson/Sparck Jones, Lucene's positive idf variant) over the
+    documents corpus PLUS two planted docs that make the ranking
+    falsifiable.
+
+    The query asks for ["needlehaystackzz", "spark"]: the first term
+    exists ONLY in the two planted docs (df=2 against ~N corpus docs →
+    dominant idf), the second is a common corpus term. Planted doc -1
+    carries the rare term 5x, doc -2 carries it 3x at the SAME doc
+    length. Invariants riding every row: ``planted_top_ok`` — doc -1
+    strictly outscores every other doc (rare-term idf dominance);
+    ``mono_ok`` — doc -1 strictly outscores doc -2 (tf monotonicity at
+    fixed dl and idf); ``pos_ok`` — all returned scores are positive
+    (the +1-inside-log idf can never go negative). Rows-only (ln is
+    not cross-engine bit-stable; the discrete RANKING is the checked
+    artifact).
+    """
+    _prep(spark)
+    from wavelet_decomposition_spark.operators.invindex import bm25_topk
+
+    planted = spark.createDataFrame(
+        [
+            (-1, "needlehaystackzz " * 5 + "pad " * 10),
+            (-2, "needlehaystackzz " * 3 + "pad " * 12),
+        ],
+        "doc_id long, text string",
+    )
+    corpus = (
+        _docs(spark, sf_dir).select("doc_id", "text").unionByName(planted)
+    )
+    top = bm25_topk(
+        corpus, ["needlehaystackzz", "spark"], k=10
+    ).cache()
+    checks = top.agg(
+        (
+            F.max(F.when(F.col("doc_id") == -1, F.col("score")))
+            > F.max(F.when(F.col("doc_id") != -1, F.col("score")))
+        ).alias("planted_top_ok"),
+        (
+            F.max(F.when(F.col("doc_id") == -1, F.col("score")))
+            > F.max(F.when(F.col("doc_id") == -2, F.col("score")))
+        ).alias("mono_ok"),
+        (F.min("score") > 0.0).alias("pos_ok"),
+    )
+    return (
+        top.crossJoin(F.broadcast(checks))
+        .orderBy(F.desc("score"), "doc_id")
+    )
+
+
+def _q_referential_integrity(spark, sf_dir):
+    """Cross-table referential-integrity gate
+    (operators/expect.py check_foreign_keys): all seven TPC-H foreign
+    keys checked in one query — child count, NULL-FK count, and orphan
+    count per FK (NULL is unknown, not an orphan). Each check is a
+    single-column anti-join against the parent's deduplicated key set
+    (broadcast — dimension key sets stay small even at 100 TB fact
+    scale). DuckDB-oracle-checked; all integers and booleans.
+    """
+    _prep(spark)
+    from wavelet_decomposition_spark.operators.expect import (
+        check_foreign_keys,
+    )
+
+    rd = lambda t: spark.read.parquet(f"{sf_dir}/{t}.parquet")  # noqa: E731
+    return check_foreign_keys(
+        [
+            ("customer_nationkey", rd("customer"), "c_nationkey",
+             rd("nation"), "n_nationkey"),
+            ("lineitem_orderkey", rd("lineitem"), "l_orderkey",
+             rd("orders"), "o_orderkey"),
+            ("lineitem_partkey", rd("lineitem"), "l_partkey",
+             rd("part"), "p_partkey"),
+            ("lineitem_suppkey", rd("lineitem"), "l_suppkey",
+             rd("supplier"), "s_suppkey"),
+            ("nation_regionkey", rd("nation"), "n_regionkey",
+             rd("region"), "r_regionkey"),
+            ("orders_custkey", rd("orders"), "o_custkey",
+             rd("customer"), "c_custkey"),
+            ("supplier_nationkey", rd("supplier"), "s_nationkey",
+             rd("nation"), "n_nationkey"),
+        ]
+    ).orderBy("fk")
+
+
 def _q_pagerank(spark, sf_dir):
     """PageRank power iteration (operators/pagerank.py) over the
     customer->supplier order-flow graph (orders x lineitem), plus a
@@ -4906,6 +4992,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sax_words": _q_sax_words,
         "inverted_index": _q_inverted_index,
         "pagerank": _q_pagerank,
+        "referential_integrity": _q_referential_integrity,
+        "bm25_topk": _q_bm25_topk,
         "lang_id": _q_lang_id,
         "sessionize_skewed": _q_sessionize_skewed,
         "user_profile_skewed": _q_user_profile_skewed,
@@ -5055,6 +5143,100 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS turns,
                    round(sum(value), 6) AS total_value
             FROM events GROUP BY 1, 2
+        """,
+        "referential_integrity": """
+            SELECT 'customer_nationkey' AS fk,
+                   count(*) AS n_child,
+                   CAST(sum(CASE WHEN c_nationkey IS NULL THEN 1
+                            ELSE 0 END) AS BIGINT) AS n_null_fk,
+                   CAST(sum(CASE WHEN c_nationkey IS NOT NULL
+                            AND NOT EXISTS (SELECT 1 FROM nation p
+                                WHERE p.n_nationkey = c.c_nationkey)
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans,
+                   sum(CASE WHEN c_nationkey IS NOT NULL
+                       AND NOT EXISTS (SELECT 1 FROM nation p
+                           WHERE p.n_nationkey = c.c_nationkey)
+                       THEN 1 ELSE 0 END) = 0 AS ok
+            FROM customer c
+            UNION ALL
+            SELECT 'lineitem_orderkey', count(*),
+                   CAST(sum(CASE WHEN l_orderkey IS NULL THEN 1
+                            ELSE 0 END) AS BIGINT),
+                   CAST(sum(CASE WHEN l_orderkey IS NOT NULL
+                            AND NOT EXISTS (SELECT 1 FROM orders p
+                                WHERE p.o_orderkey = c.l_orderkey)
+                            THEN 1 ELSE 0 END) AS BIGINT),
+                   sum(CASE WHEN l_orderkey IS NOT NULL
+                       AND NOT EXISTS (SELECT 1 FROM orders p
+                           WHERE p.o_orderkey = c.l_orderkey)
+                       THEN 1 ELSE 0 END) = 0
+            FROM lineitem c
+            UNION ALL
+            SELECT 'lineitem_partkey', count(*),
+                   CAST(sum(CASE WHEN l_partkey IS NULL THEN 1
+                            ELSE 0 END) AS BIGINT),
+                   CAST(sum(CASE WHEN l_partkey IS NOT NULL
+                            AND NOT EXISTS (SELECT 1 FROM part p
+                                WHERE p.p_partkey = c.l_partkey)
+                            THEN 1 ELSE 0 END) AS BIGINT),
+                   sum(CASE WHEN l_partkey IS NOT NULL
+                       AND NOT EXISTS (SELECT 1 FROM part p
+                           WHERE p.p_partkey = c.l_partkey)
+                       THEN 1 ELSE 0 END) = 0
+            FROM lineitem c
+            UNION ALL
+            SELECT 'lineitem_suppkey', count(*),
+                   CAST(sum(CASE WHEN l_suppkey IS NULL THEN 1
+                            ELSE 0 END) AS BIGINT),
+                   CAST(sum(CASE WHEN l_suppkey IS NOT NULL
+                            AND NOT EXISTS (SELECT 1 FROM supplier p
+                                WHERE p.s_suppkey = c.l_suppkey)
+                            THEN 1 ELSE 0 END) AS BIGINT),
+                   sum(CASE WHEN l_suppkey IS NOT NULL
+                       AND NOT EXISTS (SELECT 1 FROM supplier p
+                           WHERE p.s_suppkey = c.l_suppkey)
+                       THEN 1 ELSE 0 END) = 0
+            FROM lineitem c
+            UNION ALL
+            SELECT 'nation_regionkey', count(*),
+                   CAST(sum(CASE WHEN n_regionkey IS NULL THEN 1
+                            ELSE 0 END) AS BIGINT),
+                   CAST(sum(CASE WHEN n_regionkey IS NOT NULL
+                            AND NOT EXISTS (SELECT 1 FROM region p
+                                WHERE p.r_regionkey = c.n_regionkey)
+                            THEN 1 ELSE 0 END) AS BIGINT),
+                   sum(CASE WHEN n_regionkey IS NOT NULL
+                       AND NOT EXISTS (SELECT 1 FROM region p
+                           WHERE p.r_regionkey = c.n_regionkey)
+                       THEN 1 ELSE 0 END) = 0
+            FROM nation c
+            UNION ALL
+            SELECT 'orders_custkey', count(*),
+                   CAST(sum(CASE WHEN o_custkey IS NULL THEN 1
+                            ELSE 0 END) AS BIGINT),
+                   CAST(sum(CASE WHEN o_custkey IS NOT NULL
+                            AND NOT EXISTS (SELECT 1 FROM customer p
+                                WHERE p.c_custkey = c.o_custkey)
+                            THEN 1 ELSE 0 END) AS BIGINT),
+                   sum(CASE WHEN o_custkey IS NOT NULL
+                       AND NOT EXISTS (SELECT 1 FROM customer p
+                           WHERE p.c_custkey = c.o_custkey)
+                       THEN 1 ELSE 0 END) = 0
+            FROM orders c
+            UNION ALL
+            SELECT 'supplier_nationkey', count(*),
+                   CAST(sum(CASE WHEN s_nationkey IS NULL THEN 1
+                            ELSE 0 END) AS BIGINT),
+                   CAST(sum(CASE WHEN s_nationkey IS NOT NULL
+                            AND NOT EXISTS (SELECT 1 FROM nation p
+                                WHERE p.n_nationkey = c.s_nationkey)
+                            THEN 1 ELSE 0 END) AS BIGINT),
+                   sum(CASE WHEN s_nationkey IS NOT NULL
+                       AND NOT EXISTS (SELECT 1 FROM nation p
+                           WHERE p.n_nationkey = c.s_nationkey)
+                       THEN 1 ELSE 0 END) = 0
+            FROM supplier c
+            ORDER BY fk
         """,
         "inverted_index": """
             WITH toks AS (SELECT doc_id,

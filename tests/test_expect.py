@@ -71,3 +71,44 @@ def test_empty_input_pass_rate_vacuous(spark):
     )
     assert out.n_rows.iloc[0] == 0
     assert out.pass_rate.iloc[0] == 1.0  # vacuous, never NaN
+
+
+def test_foreign_keys_orphans_and_nulls(spark):
+    from wavelet_decomposition_spark.operators.expect import (
+        check_foreign_keys,
+    )
+
+    child = spark.createDataFrame(
+        [(1, 10), (2, 10), (3, 99), (4, None), (5, 20)],
+        "id long, fk long",
+    )
+    parent = spark.createDataFrame([(10,), (20,), (30,)], "pk long")
+    out = check_foreign_keys(
+        [("c_fk", child, "fk", parent, "pk")]
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    # 5 children, 1 NULL fk (unknown, not orphan), 1 orphan (99)
+    assert (r.n_child, r.n_null_fk, r.n_orphans, r.ok) == (5, 1, 1, False)
+
+
+def test_foreign_keys_clean_and_dup_parent_keys(spark):
+    from wavelet_decomposition_spark.operators.expect import (
+        check_foreign_keys,
+    )
+    import pytest
+
+    child = spark.createDataFrame([(1, 10), (2, 20)], "id long, fk long")
+    # duplicate parent keys must not double-count children
+    parent = spark.createDataFrame(
+        [(10,), (10,), (20,)], "pk long"
+    )
+    out = check_foreign_keys(
+        [("a", child, "fk", parent, "pk"),
+         ("b", child, "fk", parent, "pk")]
+    ).orderBy("fk").collect()
+    assert [(r.fk, r.n_child, r.n_orphans, r.ok) for r in out] == [
+        ("a", 2, 0, True), ("b", 2, 0, True)
+    ]
+    with pytest.raises(ValueError):
+        check_foreign_keys([])

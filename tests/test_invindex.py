@@ -99,3 +99,74 @@ def test_df_cf_consistency_on_fixture(spark):
         )
     )
     assert chk.count() == 0
+
+
+def _bm25_expected(corpus, query, k1=1.2, b=0.75):
+    """Scalar Python recompute of bm25_topk's exact formula."""
+    import math
+
+    toks = {d: t.lower().split() for d, t in corpus}
+    dl = {d: len(t) for d, t in toks.items()}
+    n = len(corpus)
+    avgdl = sum(dl.values()) / n
+    scores = {}
+    for term in query:
+        df = sum(1 for t in toks.values() if term in t)
+        if df == 0:
+            continue
+        idf = math.log1p((n - df + 0.5) / (df + 0.5))
+        for d, t in toks.items():
+            tf = t.count(term)
+            if tf:
+                scores[d] = scores.get(d, 0.0) + idf * (
+                    tf * (k1 + 1.0)
+                ) / (tf + k1 * (1.0 - b + b * dl[d] / avgdl))
+    return scores
+
+
+def test_bm25_scores_match_scalar_recompute(spark):
+    from wavelet_decomposition_spark.operators.invindex import bm25_topk
+
+    corpus = [
+        (1, "cat dog"),
+        (2, "cat cat mouse"),
+        (3, "bird"),
+        (4, "dog dog dog"),
+    ]
+    exp = _bm25_expected(corpus, ["cat", "bird"])
+    out = bm25_topk(
+        spark.createDataFrame(corpus, "doc_id long, text string"),
+        ["cat", "bird"],
+        k=10,
+    ).collect()
+    got = {r.doc_id: r.score for r in out}
+    assert set(got) == set(exp)  # doc 4 has no query term
+    for d in exp:
+        assert abs(got[d] - exp[d]) < 1e-12
+    # rare term (bird, df=1) outscores common term hits
+    assert out[0].doc_id == 3
+
+
+def test_bm25_k_limit_and_deterministic_ties(spark):
+    from wavelet_decomposition_spark.operators.invindex import bm25_topk
+
+    # 5 identical docs tie exactly -> doc_id ascending breaks the tie
+    corpus = [(i, "same text here") for i in range(5)]
+    out = bm25_topk(
+        spark.createDataFrame(corpus, "doc_id long, text string"),
+        ["same"],
+        k=3,
+    ).collect()
+    assert [r.doc_id for r in out] == [0, 1, 2]
+
+
+def test_bm25_empty_query_raises(spark):
+    import pytest
+
+    from wavelet_decomposition_spark.operators.invindex import bm25_topk
+
+    with pytest.raises(ValueError):
+        bm25_topk(
+            spark.createDataFrame([(1, "x")], "doc_id long, text string"),
+            [],
+        )

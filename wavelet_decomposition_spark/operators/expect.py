@@ -21,6 +21,55 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def check_foreign_keys(
+    fks: list[tuple[str, DataFrame, str, DataFrame, str]],
+) -> DataFrame:
+    """Cross-table referential-integrity gate: for each
+    ``(name, child, child_key, parent, parent_key)`` count child rows,
+    NULL foreign keys, and ORPHANS (non-null keys with no parent row —
+    SQL semantics: a NULL FK is unknown, not an orphan).
+
+    Scale shape: each check projects the child to its single key column
+    BEFORE the anti-join (the scan reads one column), and the parent
+    side is its deduplicated key only — a dimension's key set is small
+    even when the dimension is wide, so Catalyst broadcasts it and the
+    whole check is one map-side pass per child table. Results union to
+    one row per FK.
+    """
+    if not fks:
+        raise ValueError("no foreign keys given")
+    parts = []
+    for name, child, child_key, parent, parent_key in fks:
+        keys = child.select(F.col(child_key).alias("_k"))
+        pkeys = parent.select(
+            F.col(parent_key).alias("_k")
+        ).distinct()
+        orphans = (
+            keys.where(F.col("_k").isNotNull())
+            .join(pkeys, "_k", "left_anti")
+            .agg(F.count(F.lit(1)).alias("n_orphans"))
+        )
+        counts = keys.agg(
+            F.count(F.lit(1)).alias("n_child"),
+            F.sum(
+                F.when(F.col("_k").isNull(), 1).otherwise(0)
+            ).alias("n_null_fk"),
+        )
+        parts.append(
+            counts.crossJoin(F.broadcast(orphans)).select(
+                F.lit(name).alias("fk"),
+                "n_child",
+                "n_null_fk",
+                "n_orphans",
+                (F.col("n_orphans") == 0).alias("ok"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def check_expectations(
     df: DataFrame, rules: dict[str, Column]
 ) -> DataFrame:

@@ -51,6 +51,80 @@ def tokenize(
     )
 
 
+def bm25_topk(
+    docs: DataFrame,
+    query_terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    doc_id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """BM25 ranked retrieval (Robertson-Sparck Jones; Lucene's
+    +1-inside-the-log idf variant, so idf is always positive):
+
+        score(d) = sum over query terms t of
+            ln(1 + (N - df_t + 0.5)/(df_t + 0.5))
+            * tf * (k1+1) / (tf + k1 * (1 - b + b * dl/avgdl))
+
+    Scale shape: the token stream is filtered to the query's terms
+    MAP-SIDE (an O(|q|) literal isin — no join) before any aggregate,
+    so the per-(term, doc) tf table is tiny regardless of corpus size;
+    doc length and N/avgdl are one extra aggregate each, and the
+    per-term df joins back on the term key (|q| rows, broadcast). The
+    only full-corpus pass is the tokenize scan. Top-k orders by
+    (score desc, doc_id) — deterministic under ties.
+
+    Returns (doc_id, score, n_hit_terms, dl) for the k best docs among
+    those containing at least one query term.
+    """
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    toks = tokenize(docs, doc_id_col, text_col)
+    dl = toks.groupBy(doc_id_col).agg(F.count(F.lit(1)).alias("dl"))
+    corpus = dl.agg(
+        F.count(F.lit(1)).alias("_N"),
+        F.avg("dl").alias("_avgdl"),
+    )
+    qtf = (
+        toks.where(F.col("term").isin(list(query_terms)))
+        .groupBy("term", doc_id_col)
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_t = qtf.groupBy("term").agg(
+        F.count(F.lit(1)).alias("_df")
+    )
+    scored = (
+        qtf.join(F.broadcast(df_t), "term")
+        .join(dl, doc_id_col)
+        .crossJoin(F.broadcast(corpus))
+        .withColumn(
+            "_idf",
+            F.log1p(
+                (F.col("_N") - F.col("_df") + 0.5)
+                / (F.col("_df") + 0.5)
+            ),
+        )
+        .withColumn(
+            "_s",
+            F.col("_idf")
+            * (F.col("tf") * (k1 + 1.0))
+            / (
+                F.col("tf")
+                + k1
+                * (1.0 - b + b * F.col("dl") / F.col("_avgdl"))
+            ),
+        )
+        .groupBy(doc_id_col)
+        .agg(
+            F.sum("_s").alias("score"),
+            F.count(F.lit(1)).alias("n_hit_terms"),
+            F.min("dl").alias("dl"),
+        )
+    )
+    return scored.orderBy(F.desc("score"), doc_id_col).limit(k)
+
+
 def inverted_index(
     docs: DataFrame,
     block_size: int = 128,
