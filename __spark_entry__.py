@@ -1550,6 +1550,96 @@ def _q_state_durations(spark, sf_dir):
     )
 
 
+def _zx_zy(spark, sf_dir):
+    """Shared (x, y) key pair for the z-order queries: epoch-hour of ts
+    (~473k < 2^21) and exact integer cents (<= 56,021 < 2^21)."""
+    ev = _events(spark, sf_dir)
+    return ev.select(
+        "event_id",
+        F.floor(F.unix_timestamp("ts") / F.lit(3600))
+        .cast("bigint")
+        .alias("x"),
+        F.round(F.col("value") * 100).cast("bigint").alias("y"),
+    )
+
+
+def _q_zorder_values(spark, sf_dir):
+    """Morton/Z-order key computation (operators/layout.py zvalue): the
+    bit-interleave of (epoch-hour, integer cents) per event — pure
+    64-bit shift/mask ops, so the DuckDB oracle replays the identical
+    magic-mask spread and the result is hash-exact cross-engine. This
+    is the curve `zorder_layout` clusters files on.
+    """
+    _prep(spark)
+    from wavelet_decomposition_spark.operators.layout import zvalue
+
+    base = _zx_zy(spark, sf_dir)
+    return base.select(
+        "event_id", "x", "y",
+        zvalue(F.col("x"), F.col("y")).alias("z"),
+    ).orderBy("event_id")
+
+
+def _q_zorder_layout(spark, sf_dir):
+    """Z-order layout writer (operators/layout.py write_zorder): events
+    written range-clustered on the Morton curve of (epoch-hour, cents).
+    Rows-only but SELF-VERIFYING from the written files' OWN parquet
+    metadata (pyarrow, metadata-only): per-file rows <= cap (`cap_ok`),
+    and a point predicate on EITHER dimension opens at most half the
+    files (`prune_x_ok` / `prune_y_ok` from the min/max envelopes).
+    The contrast is the point: an arrival-order write measures ~1.0 on
+    both, and `clustered_layout`'s 1-D lexicographic write prunes its
+    leading key perfectly but measures ~1.0 on the OTHER key; the
+    z-curve gives ~sqrt(1/n_files) on both at once — the layout for
+    tables filtered by either key independently.
+    """
+    _prep(spark)
+    import tempfile
+
+    from wavelet_decomposition_spark.operators.layout import (
+        layout_stats,
+        pruning_factor,
+        write_zorder,
+    )
+
+    path = f"{tempfile.gettempdir()}/wds_layout_zorder"
+    cap = 5_000
+    write_zorder(
+        _zx_zy(spark, sf_dir), path, "x", "y",
+        target_rows_per_file=cap,
+    )
+    pfs = {}
+    stats = None
+    for dim in ("x", "y"):
+        stats = layout_stats(path, dim)
+        if any(s["min"] is None or s["max"] is None for s in stats):
+            raise RuntimeError("z-order write produced stat-less groups")
+        gmin = min(s["min"] for s in stats)
+        gmax = max(s["max"] for s in stats)
+        probes = [gmin + (gmax - gmin) * i // 4 for i in range(5)]
+        pfs[dim] = pruning_factor(stats, probes)
+    files = sorted({s["file"] for s in stats})
+    rows = [
+        (
+            files.index(s["file"]),
+            s["row_group"],
+            s["rows"],
+            float(pfs["x"]),
+            float(pfs["y"]),
+            s["rows"] <= cap,
+            pfs["x"] <= 0.5,
+            pfs["y"] <= 0.5,
+        )
+        for s in stats
+    ]
+    return spark.createDataFrame(
+        rows,
+        "file_idx int, row_group int, rows bigint, pf_x double, "
+        "pf_y double, cap_ok boolean, prune_x_ok boolean, "
+        "prune_y_ok boolean",
+    )
+
+
 def _q_bm25_topk(spark, sf_dir):
     """BM25 ranked retrieval (operators/invindex.py bm25_topk —
     Robertson/Sparck Jones, Lucene's positive idf variant) over the
@@ -4994,6 +5084,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank": _q_pagerank,
         "referential_integrity": _q_referential_integrity,
         "bm25_topk": _q_bm25_topk,
+        "zorder_values": _q_zorder_values,
+        "zorder_layout": _q_zorder_layout,
         "lang_id": _q_lang_id,
         "sessionize_skewed": _q_sessionize_skewed,
         "user_profile_skewed": _q_user_profile_skewed,
@@ -5143,6 +5235,38 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS turns,
                    round(sum(value), 6) AS total_value
             FROM events GROUP BY 1, 2
+        """,
+        "zorder_values": """
+            WITH base AS (
+                SELECT event_id,
+                       CAST(floor(epoch(ts) / 3600) AS BIGINT) AS x,
+                       CAST(round(value * 100) AS BIGINT) AS y
+                FROM events),
+            m AS (SELECT event_id, x, y,
+                         x & 2097151 AS sx, y & 2097151 AS sy
+                  FROM base),
+            s1 AS (SELECT event_id, x, y,
+                          (sx | (sx << 16)) & 281470681808895 AS sx,
+                          (sy | (sy << 16)) & 281470681808895 AS sy
+                   FROM m),
+            s2 AS (SELECT event_id, x, y,
+                          (sx | (sx << 8)) & 71777214294589695 AS sx,
+                          (sy | (sy << 8)) & 71777214294589695 AS sy
+                   FROM s1),
+            s3 AS (SELECT event_id, x, y,
+                          (sx | (sx << 4)) & 1085102592571150095 AS sx,
+                          (sy | (sy << 4)) & 1085102592571150095 AS sy
+                   FROM s2),
+            s4 AS (SELECT event_id, x, y,
+                          (sx | (sx << 2)) & 3689348814741910323 AS sx,
+                          (sy | (sy << 2)) & 3689348814741910323 AS sy
+                   FROM s3),
+            s5 AS (SELECT event_id, x, y,
+                          (sx | (sx << 1)) & 6148914691236517205 AS sx,
+                          (sy | (sy << 1)) & 6148914691236517205 AS sy
+                   FROM s4)
+            SELECT event_id, x, y, sx | (sy << 1) AS z
+            FROM s5 ORDER BY event_id
         """,
         "referential_integrity": """
             SELECT 'customer_nationkey' AS fk,

@@ -99,3 +99,78 @@ def test_spark_scan_respects_layout(spark, clustered_path):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters: [IsNotNull(user_id), EqualTo(user_id,2500)" in plan
     assert df.count() > 0
+
+
+def _py_spread(v, bits=21):
+    v &= (1 << bits) - 1
+    for sh, mask in [
+        (16, 0x0000FFFF0000FFFF), (8, 0x00FF00FF00FF00FF),
+        (4, 0x0F0F0F0F0F0F0F0F), (2, 0x3333333333333333),
+        (1, 0x5555555555555555),
+    ]:
+        if sh < 2 * bits:
+            v = (v | (v << sh)) & mask
+    return v
+
+
+def _py_z(x, y, bits=21):
+    return _py_spread(x, bits) | (_py_spread(y, bits) << 1)
+
+
+def test_zvalue_matches_bitwise_reference(spark):
+    from pyspark.sql import functions as F
+
+    from wavelet_decomposition_spark.operators.layout import zvalue
+
+    cases = [(0, 0), (1, 0), (0, 1), (3, 5), (2**21 - 1, 0),
+             (0, 2**21 - 1), (123456, 654321), (2**21 - 1, 2**21 - 1)]
+    df = spark.createDataFrame(cases, "x long, y long").select(
+        "x", "y", zvalue(F.col("x"), F.col("y")).alias("z")
+    )
+    for r in df.collect():
+        assert r.z == _py_z(r.x, r.y), (r.x, r.y)
+    # hand check: interleave(3=0b11, 5=0b101) = 0b100111 = 39
+    assert _py_z(3, 5) == 39
+
+
+def test_zvalue_bits_bounds(spark):
+    import pytest
+    from pyspark.sql import functions as F
+
+    from wavelet_decomposition_spark.operators.layout import zvalue
+
+    with pytest.raises(ValueError):
+        zvalue(F.lit(1), F.lit(1), bits=0)
+    with pytest.raises(ValueError):
+        zvalue(F.lit(1), F.lit(1), bits=32)
+
+
+def test_zorder_write_prunes_both_dims(spark, tmp_path):
+    from wavelet_decomposition_spark.operators.layout import (
+        layout_stats,
+        pruning_factor,
+        write_zorder,
+    )
+
+    # mismatched bit-widths on purpose: x in [10^6, 10^6+4096) varies
+    # only in its low bits, y in [0, 64) — normalization must still
+    # give 2-D pruning
+    df = spark.range(65536).selectExpr(
+        "id", "1000000 + CAST(id / 16 AS BIGINT) AS x", "id % 64 AS y"
+    )
+    path = str(tmp_path / "z")
+    write_zorder(df, path, "x", "y", target_rows_per_file=3000)
+    pfs = {}
+    for dim in ("x", "y"):
+        st = layout_stats(path, dim)
+        gmin = min(s["min"] for s in st)
+        gmax = max(s["max"] for s in st)
+        probes = [gmin + (gmax - gmin) * i // 4 for i in range(5)]
+        pfs[dim] = pruning_factor(st, probes)
+    n_files = len({s["file"] for s in st})
+    assert n_files >= 4
+    # both dims must prune (arrival order / 1-D layouts give ~1.0 on
+    # at least one of them)
+    assert pfs["x"] <= 0.6 and pfs["y"] <= 0.6, pfs
+    # row cap respected
+    assert all(s["rows"] <= 3000 for s in st)

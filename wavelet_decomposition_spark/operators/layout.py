@@ -99,6 +99,112 @@ def write_bucketed(
     w.saveAsTable(table)
 
 
+_MORTON_MASKS = [
+    (16, 0x0000FFFF0000FFFF),
+    (8, 0x00FF00FF00FF00FF),
+    (4, 0x0F0F0F0F0F0F0F0F),
+    (2, 0x3333333333333333),
+    (1, 0x5555555555555555),
+]
+
+
+def zvalue(x_col, y_col, bits: int = 21):
+    """Morton/Z-order interleave of two non-negative integer columns
+    (x gets the even bit positions, y the odd) — the multi-dimensional
+    generalization of ``write_clustered``'s lexicographic curve, for
+    tables filtered on EITHER key independently (no dominant key).
+    A z-range-clustered file covers an ~square region of (x, y) space,
+    so a point predicate on one dimension opens ~sqrt(n_files) files
+    instead of all of them on the non-leading key.
+
+    Precondition: ``0 <= value < 2**bits`` (bits <= 31; two 21-bit keys
+    fill 42 of a BIGINT's 63 usable bits). Pure JVM shift/mask ops
+    (the standard magic-mask bit-spread), so the same expression runs
+    bit-identically in any engine with 64-bit integer ops — the DuckDB
+    oracle replays it exactly.
+    """
+    from pyspark.sql import functions as F
+
+    if not 1 <= bits <= 31:
+        raise ValueError("bits must be in [1, 31]")
+
+    def spread(c):
+        c = c.cast("bigint").bitwiseAND(F.lit((1 << bits) - 1))
+        for sh, mask in _MORTON_MASKS:
+            if sh < 2 * bits:  # shifts >= the spread width are no-ops
+                c = c.bitwiseOR(F.shiftleft(c, sh)).bitwiseAND(
+                    F.lit(mask)
+                )
+        return c
+
+    return spread(x_col).bitwiseOR(F.shiftleft(spread(y_col), 1))
+
+
+def write_zorder(
+    df: DataFrame,
+    path: str,
+    x_col: str,
+    y_col: str,
+    bits: int = 16,
+    normalize: bool = True,
+    target_rows_per_file: int = 1_000_000,
+    mode: str = "overwrite",
+) -> None:
+    """Write ``df`` as parquet clustered on the Z-order curve of
+    ``(x_col, y_col)``: range-repartitioned and sorted by the morton
+    value (Delta's OPTIMIZE ... ZORDER mechanism), files capped like
+    ``write_clustered``. The z column itself is not persisted — the
+    pruning payoff is in the per-file min/max envelopes of the ORIGINAL
+    columns, which the curve keeps narrow in both dimensions at once.
+
+    ``normalize=True`` (default, and almost always what you want)
+    min-max scales each dimension to the full ``2**bits`` range first:
+    raw interleaving is only meaningful when both keys span comparable
+    bit widths — a key whose domain varies in its low 10 bits loses
+    every interleave decision to a 16-bit neighbor and degenerates to
+    1-D clustering (an epoch-hour column is the canonical victim: its
+    HIGH bits are constant). Min-max is one cheap aggregate; swap in
+    rank/quantile bucketing upstream for heavily skewed keys, then
+    write with ``normalize=False``.
+    """
+    from pyspark.sql import functions as F
+
+    n = max(1, df.sparkSession.sparkContext.defaultParallelism)
+    if normalize:
+        top = (1 << bits) - 1
+        b = df.agg(
+            F.min(x_col).alias("_xmin"), F.max(x_col).alias("_xmax"),
+            F.min(y_col).alias("_ymin"), F.max(y_col).alias("_ymax"),
+        )
+        scale = lambda c, lo, hi: F.floor(  # noqa: E731
+            (F.col(c) - F.col(lo)).cast("double")
+            * top
+            / F.greatest(
+                (F.col(hi) - F.col(lo)).cast("double"), F.lit(1.0)
+            )
+        ).cast("bigint")
+        keyed = df.crossJoin(F.broadcast(b)).withColumn(
+            "_z",
+            zvalue(
+                scale(x_col, "_xmin", "_xmax"),
+                scale(y_col, "_ymin", "_ymax"),
+                bits,
+            ),
+        ).drop("_xmin", "_xmax", "_ymin", "_ymax")
+    else:
+        keyed = df.withColumn(
+            "_z", zvalue(F.col(x_col), F.col(y_col), bits)
+        )
+    (
+        keyed.repartitionByRange(n, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_z")
+        .write.mode(mode)
+        .option("maxRecordsPerFile", target_rows_per_file)
+        .parquet(path)
+    )
+
+
 def layout_stats(path: str, key: str):
     """Read back per-row-group min/max statistics for ``key`` from every
     parquet file under ``path`` (pyarrow, metadata-only — no data pages
