@@ -1550,6 +1550,74 @@ def _q_state_durations(spark, sf_dir):
     )
 
 
+def _q_weighted_sample(spark, sf_dir):
+    """Deterministic weighted sampling without replacement
+    (operators/sampling.py weighted_sample — Efraimidis-Spirakis A-ES)
+    of 50 documents with weight = n_chars, plus planted weights that
+    make the draw falsifiable.
+
+    Planted: 20 docs at weight 1e9 (every one MUST be sampled — their
+    worst ES key beats any realistic corpus key) and 20 docs at weight
+    1e-6 (NONE may be sampled — their best key loses to every corpus
+    doc by orders of magnitude); seed fixed, so both facts are
+    deterministic, not statistical. Invariants: ``planted_ok`` /
+    ``light_ok`` as above, ``k_ok`` (exactly 50 rows), and ``det_ok`` —
+    a SECOND invocation over the same input repartitioned differently
+    must select the identical id set (the partition-independence
+    property DataFrame.sample does not have). Rows-only (ln is not
+    cross-engine bit-stable; the SELECTED SET is the checked artifact).
+    """
+    _prep(spark)
+    from wavelet_decomposition_spark.operators.sampling import (
+        weighted_sample,
+    )
+
+    base = _docs(spark, sf_dir).select(
+        "doc_id", F.col("n_chars").cast("double").alias("w")
+    )
+    heavies = spark.range(1, 21).select(
+        (-F.col("id")).alias("doc_id"), F.lit(1e9).alias("w")
+    )
+    lights = spark.range(100, 120).select(
+        (-F.col("id")).alias("doc_id"), F.lit(1e-6).alias("w")
+    )
+    corpus = base.unionByName(heavies).unionByName(lights)
+    k = 50
+    samp = weighted_sample(
+        corpus, k=k, weight_col="w", key_col="doc_id", seed=42
+    ).cache()
+    samp2 = weighted_sample(
+        corpus.repartition(7), k=k, weight_col="w", key_col="doc_id",
+        seed=42,
+    )
+    det = (
+        samp.select("doc_id")
+        .unionAll(samp2.select("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .agg(
+            (F.sum(F.when(F.col("_c") != 2, 1).otherwise(0)) == 0).alias(
+                "det_ok"
+            )
+        )
+    )
+    checks = samp.agg(
+        (
+            F.sum(
+                F.when(F.col("doc_id").between(-20, -1), 1).otherwise(0)
+            )
+            == 20
+        ).alias("planted_ok"),
+        (
+            F.sum(F.when(F.col("doc_id") <= -100, 1).otherwise(0)) == 0
+        ).alias("light_ok"),
+        (F.count(F.lit(1)) == k).alias("k_ok"),
+    ).crossJoin(F.broadcast(det))
+    return (
+        samp.crossJoin(F.broadcast(checks)).orderBy("doc_id")
+    )
+
+
 def _zx_zy(spark, sf_dir):
     """Shared (x, y) key pair for the z-order queries: epoch-hour of ts
     (~473k < 2^21) and exact integer cents (<= 56,021 < 2^21)."""
@@ -1689,6 +1757,21 @@ def _q_bm25_topk(spark, sf_dir):
         top.crossJoin(F.broadcast(checks))
         .orderBy(F.desc("score"), "doc_id")
     )
+
+
+def _q_boolean_retrieval(spark, sf_dir):
+    """Conjunctive boolean retrieval (operators/invindex.py
+    boolean_and): documents containing ALL of {spark, data, join} with
+    per-doc term stats — the posting-intersection primitive. Map-side
+    term filter, two hash aggregates, all exact integers;
+    DuckDB-oracle-checked.
+    """
+    _prep(spark)
+    from wavelet_decomposition_spark.operators.invindex import boolean_and
+
+    return boolean_and(
+        _docs(spark, sf_dir), ["spark", "data", "join"]
+    ).orderBy("doc_id")
 
 
 def _q_referential_integrity(spark, sf_dir):
@@ -5086,6 +5169,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": _q_bm25_topk,
         "zorder_values": _q_zorder_values,
         "zorder_layout": _q_zorder_layout,
+        "weighted_sample": _q_weighted_sample,
+        "boolean_retrieval": _q_boolean_retrieval,
         "lang_id": _q_lang_id,
         "sessionize_skewed": _q_sessionize_skewed,
         "user_profile_skewed": _q_user_profile_skewed,
@@ -5235,6 +5320,22 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS turns,
                    round(sum(value), 6) AS total_value
             FROM events GROUP BY 1, 2
+        """,
+        "boolean_retrieval": """
+            WITH toks AS (SELECT doc_id,
+                                 unnest(string_split_regex(
+                                     lower(text), '[^a-z0-9]+')) AS term
+                          FROM documents),
+            tf AS (SELECT doc_id, term, count(*) AS tf
+                   FROM toks
+                   WHERE term IN ('spark', 'data', 'join')
+                   GROUP BY 1, 2)
+            SELECT doc_id,
+                   count(*) AS n_terms,
+                   CAST(sum(tf) AS BIGINT) AS total_tf,
+                   CAST(min(tf) AS BIGINT) AS min_tf
+            FROM tf GROUP BY 1 HAVING count(*) = 3
+            ORDER BY doc_id
         """,
         "zorder_values": """
             WITH base AS (

@@ -131,3 +131,63 @@ def test_domain_mix_explicit_weights(spark):
     assert out.loc["b", "sample_rate"] == pytest.approx(1 / 4, abs=1e-6)
     with pytest.raises(ValueError):
         domain_mix(docs, budget_tokens=4, weights={"a": 0.9, "b": 0.2})
+
+
+def test_weighted_sample_planted_dominance_and_determinism(spark):
+    from wavelet_decomposition_spark.operators.sampling import (
+        weighted_sample,
+    )
+
+    rows = [(i, 1.0) for i in range(200)] + [(1000, 1e12)]
+    df = spark.createDataFrame(rows, "doc_id long, w double")
+    s1 = weighted_sample(df, k=10, weight_col="w", seed=7)
+    s2 = weighted_sample(
+        df.repartition(13), k=10, weight_col="w", seed=7
+    )
+    ids1 = sorted(r.doc_id for r in s1.collect())
+    ids2 = sorted(r.doc_id for r in s2.collect())
+    assert ids1 == ids2 and len(ids1) == 10
+    assert 1000 in ids1  # the 1e12-weight row always wins
+
+
+def test_weighted_sample_seed_changes_draw(spark):
+    from wavelet_decomposition_spark.operators.sampling import (
+        weighted_sample,
+    )
+
+    df = spark.range(500).selectExpr("id AS doc_id", "1.0 AS w")
+    a = {r.doc_id for r in
+         weighted_sample(df, 20, "w", seed=1).collect()}
+    b = {r.doc_id for r in
+         weighted_sample(df, 20, "w", seed=2).collect()}
+    assert a != b
+
+
+def test_weighted_sample_excludes_nonpositive_and_validates_k(spark):
+    import pytest
+
+    from wavelet_decomposition_spark.operators.sampling import (
+        weighted_sample,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 1.0), (2, 0.0), (3, -5.0), (4, None), (5, 2.0)],
+        "doc_id long, w double",
+    )
+    got = sorted(
+        r.doc_id for r in weighted_sample(df, 10, "w").collect()
+    )
+    assert got == [1, 5]
+    with pytest.raises(ValueError):
+        weighted_sample(df, 0, "w")
+
+
+def test_weighted_sample_plan_is_take_ordered(spark):
+    from wavelet_decomposition_spark.operators.sampling import (
+        weighted_sample,
+    )
+
+    df = spark.range(1000).selectExpr("id AS doc_id", "1.0 AS w")
+    plan = weighted_sample(df, 5, "w")._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan  # top-k merge, no global sort

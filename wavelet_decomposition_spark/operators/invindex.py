@@ -125,6 +125,37 @@ def bm25_topk(
     return scored.orderBy(F.desc("score"), doc_id_col).limit(k)
 
 
+def boolean_and(
+    docs: DataFrame,
+    query_terms: list[str],
+    doc_id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Conjunctive boolean retrieval: docs containing ALL query terms
+    (the posting-list-intersection primitive under every AND query).
+    Map-side isin filter to the query's terms, one hash aggregate,
+    HAVING distinct-terms == |q| — per-query work is O(hits). Returns
+    (doc_id, n_terms, total_tf, min_tf) — all exact integers, fully
+    oracle-checkable.
+    """
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    want = len(set(query_terms))
+    return (
+        tokenize(docs, doc_id_col, text_col)
+        .where(F.col("term").isin(list(query_terms)))
+        .groupBy(doc_id_col, "term")
+        .agg(F.count(F.lit(1)).alias("_tf"))
+        .groupBy(doc_id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_terms"),
+            F.sum("_tf").alias("total_tf"),
+            F.min("_tf").alias("min_tf"),
+        )
+        .where(F.col("n_terms") == want)
+    )
+
+
 def inverted_index(
     docs: DataFrame,
     block_size: int = 128,

@@ -66,6 +66,42 @@ def hash_sample(
     return df.where(hash_bucket(key_col, seed, method) < F.lit(rate))
 
 
+def weighted_sample(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    key_col: str = "doc_id",
+    seed: int = 0,
+    method: str = "xxhash64",
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement
+    (Efraimidis-Spirakis A-ES): each row draws u = hash(key, seed) in
+    (0, 1) and the k largest u^(1/w) win — inclusion probability is
+    proportional to weight in the without-replacement sense, and like
+    everything in this module the draw depends only on (key, seed), so
+    reruns, backfills, and repartitioned inputs select the SAME rows.
+
+    Implemented as the k largest ln(u)/w (monotone-equivalent, no
+    pow underflow at large weights); ``orderBy(...).limit(k)`` compiles
+    to TakeOrderedAndProject — per-partition top-k then a k-row merge,
+    never a global sort, the 100-TB shape. Ties (possible only via
+    hash collision) break on the key. Rows with weight <= 0 or NULL are
+    never sampled (a zero-weight doc means "excluded", and A-ES is
+    undefined there) — count them upstream if they need auditing.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    u = hash_bucket(key_col, seed, method)
+    es = F.log(F.greatest(u, F.lit(2.0**-53))) / F.col(weight_col)
+    return (
+        df.where(F.col(weight_col) > 0)
+        .withColumn("_es_key", es)
+        .orderBy(F.desc("_es_key"), key_col)
+        .limit(k)
+        .drop("_es_key")
+    )
+
+
 def assign_splits(
     df: DataFrame,
     weights: dict[str, float],
