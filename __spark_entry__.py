@@ -1759,6 +1759,82 @@ def _q_bm25_topk(spark, sf_dir):
     )
 
 
+def _q_json_extract_stats(spark, sf_dir):
+    """Semi-structured extraction surface: pull the integer ``$.k``
+    field out of the events JSON props column and aggregate it per
+    event type (count, sum, min, max, nulls) — the schema-on-read path
+    every event pipeline runs before promoting a JSON field to a real
+    column. Spark `get_json_object` vs DuckDB `json_extract`, both cast
+    to BIGINT — exact integers, hash-identical cross-engine.
+    """
+    _prep(spark)
+    k = F.get_json_object(F.col("props"), "$.k").cast("bigint")
+    return (
+        _events(spark, sf_dir)
+        .select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+            F.sum(F.when(F.col("k").isNull(), 1).otherwise(0)).alias(
+                "n_null"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+def _q_merge_upsert(spark, sf_dir):
+    """MERGE INTO semantics (operators/merge.py merge_upsert): one full
+    outer join classifies every row into keep / update / insert / drop.
+    Deterministic planted CDC batch over the events table: target =
+    90% of events (ids not divisible by 10); source carries updates
+    (ids % 7 = 0, cents shifted +1000), deletes (ids % 13 = 0 not also
+    % 7), and inserts (ids % 50 = 0, key shifted by 1e9). Updates of
+    absent rows become inserts and deletes of absent rows are no-ops —
+    both paths exercised by the % 10 holes. All exact integers;
+    DuckDB-oracle-checked.
+    """
+    _prep(spark)
+    from wavelet_decomposition_spark.operators.merge import merge_upsert
+
+    ev = _events(spark, sf_dir).select(
+        "event_id",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    target = ev.where(F.col("event_id") % 10 != 0)
+    source = (
+        ev.where(F.col("event_id") % 7 == 0)
+        .select(
+            "event_id",
+            (F.col("cents") + 1000).alias("cents"),
+            F.lit(False).alias("del"),
+        )
+        .unionByName(
+            ev.where(
+                (F.col("event_id") % 13 == 0)
+                & (F.col("event_id") % 7 != 0)
+            ).select(
+                "event_id",
+                F.lit(None).cast("bigint").alias("cents"),
+                F.lit(True).alias("del"),
+            )
+        )
+        .unionByName(
+            ev.where(F.col("event_id") % 50 == 0).select(
+                (F.col("event_id") + 1_000_000_000).alias("event_id"),
+                "cents",
+                F.lit(False).alias("del"),
+            )
+        )
+    )
+    return merge_upsert(
+        target, source, keys=["event_id"], delete_col="del"
+    ).orderBy("event_id")
+
+
 def _q_boolean_retrieval(spark, sf_dir):
     """Conjunctive boolean retrieval (operators/invindex.py
     boolean_and): documents containing ALL of {spark, data, join} with
@@ -5171,6 +5247,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zorder_layout": _q_zorder_layout,
         "weighted_sample": _q_weighted_sample,
         "boolean_retrieval": _q_boolean_retrieval,
+        "merge_upsert": _q_merge_upsert,
+        "json_extract_stats": _q_json_extract_stats,
         "lang_id": _q_lang_id,
         "sessionize_skewed": _q_sessionize_skewed,
         "user_profile_skewed": _q_user_profile_skewed,
@@ -5320,6 +5398,54 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS turns,
                    round(sum(value), 6) AS total_value
             FROM events GROUP BY 1, 2
+        """,
+        "json_extract_stats": """
+            WITH k AS (SELECT event_type,
+                              CAST(json_extract(props, '$.k')
+                                   AS BIGINT) AS k
+                       FROM events)
+            SELECT event_type,
+                   count(*) AS n,
+                   CAST(sum(k) AS BIGINT) AS sum_k,
+                   min(k) AS min_k,
+                   max(k) AS max_k,
+                   CAST(sum(CASE WHEN k IS NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_null
+            FROM k GROUP BY 1 ORDER BY 1
+        """,
+        "merge_upsert": """
+            WITH ev AS (SELECT event_id,
+                               CAST(round(value * 100) AS BIGINT)
+                                   AS cents
+                        FROM events),
+            t AS (SELECT * FROM ev WHERE event_id % 10 <> 0),
+            s AS (SELECT event_id, cents + 1000 AS cents,
+                         false AS del
+                  FROM ev WHERE event_id % 7 = 0
+                  UNION ALL
+                  SELECT event_id, NULL, true
+                  FROM ev WHERE event_id % 13 = 0 AND event_id % 7 <> 0
+                  UNION ALL
+                  SELECT event_id + 1000000000, cents, false
+                  FROM ev WHERE event_id % 50 = 0),
+            j AS (SELECT coalesce(t.event_id, s.event_id) AS event_id,
+                         t.cents AS tc, s.cents AS sc, s.del,
+                         t.event_id IS NOT NULL AS in_t,
+                         s.event_id IS NOT NULL AS in_s
+                  FROM t FULL OUTER JOIN s ON t.event_id = s.event_id),
+            c AS (SELECT event_id, tc, sc,
+                         CASE WHEN in_t AND in_s AND del THEN NULL
+                              WHEN in_t AND in_s THEN 'update'
+                              WHEN in_s AND NOT del THEN 'insert'
+                              WHEN in_s THEN NULL
+                              ELSE 'keep' END AS action
+                  FROM j)
+            SELECT event_id,
+                   CASE WHEN action = 'keep' THEN tc ELSE sc END
+                       AS cents,
+                   action
+            FROM c WHERE action IS NOT NULL
+            ORDER BY event_id
         """,
         "boolean_retrieval": """
             WITH toks AS (SELECT doc_id,
