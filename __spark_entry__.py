@@ -5262,22 +5262,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hopping_window": _q_hopping_window,
         "rank_functions": _q_rank_functions,
         "sliding_distinct": _q_sliding_distinct,
-        "sliding_distinct_sketch": _q_sliding_distinct_sketch,
-        "response_latency": _q_response_latency,
         # late round-5 additions (retention engine, SCD2, profiling) —
-        # inside the driver's 50-query window so their first driver row
-        # lands THIS round; this pushes reconstruction_roundtrip /
-        # reconstruction_relational / heatmap_scales / epn_approx /
-        # sketch_quantiles / sketch_distinct / lttb_downsample (all
-        # rows-only, locally re-verified green this session) to the next
-        # rotation
+        # the 50-slot window can't hold every unchecked query, so the
+        # ORACLE entries (hash-exact external signal) and the flagship
+        # golden-parity queries take the remaining slots; the five
+        # displaced rows-only entries (sliding_distinct_sketch,
+        # response_latency, compact_tier, tier_refresh_resume,
+        # tier_retention_expiry — all locally gate-green) lead the next
+        # rotation just below
         "tier_routed_read": _q_tier_routed_read,
         "scd2_build": _q_scd2_build,
-        "compact_tier": _q_compact_tier,
-        "tier_refresh_resume": _q_tier_refresh_resume,
         "table_profile": _q_table_profile,
         "scd2_asof_probe": _q_scd2_asof_probe,
-        "tier_retention_expiry": _q_tier_retention_expiry,
         # -- (2) oracle queries with no CORRECTNESS_r04 row ----------------
         "weekly_profile": _q_weekly_profile,
         "top_users_per_hour": _q_top_users_per_hour,
@@ -5292,11 +5288,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": _q_quality_score,
         "resample_linear": _q_resample_linear,
         "conversation_stats_skew": _q_conversation_stats_skew,
-        # -- (3) rows-only (gate-asserted invariant columns; no SQL oracle,
-        #        driver records the weaker rows-only check) ----------------
+        # flagship golden-parity rows-only queries: positions 48-50 so
+        # the complete E1 and E3 jobs get their first driver rows
         "full_decomposition": _q_full_decomposition,
         "translation_full": _q_translation_full,
         "wavelet_betas_golden": _q_wavelet_betas_golden,
+        # -- (3) rows-only (gate-asserted invariant columns; no SQL oracle,
+        #        driver records the weaker rows-only check) ----------------
+        "sliding_distinct_sketch": _q_sliding_distinct_sketch,
+        "response_latency": _q_response_latency,
+        "compact_tier": _q_compact_tier,
+        "tier_refresh_resume": _q_tier_refresh_resume,
+        "tier_retention_expiry": _q_tier_retention_expiry,
         "wavelet_betas_sine": _q_wavelet_betas_sine,
         "translation_search": _q_translation_search,
         "dwt_energy": _q_dwt_energy,
