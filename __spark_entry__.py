@@ -1759,6 +1759,152 @@ def _q_bm25_topk(spark, sf_dir):
     )
 
 
+def _q_forecast_backtest(spark, sf_dir):
+    """Rolling-origin forecast backtest — the evaluation harness that
+    makes a forecaster a product feature: hold out the last 24 hours of
+    every hourly series, fit additive Holt-Winters on the train split
+    (operators/tsfeatures.py holt_winters), forecast h=1..24, and score
+    MAE/sMAPE against the held-out actuals NEXT TO the seasonal-naive
+    baseline (actual from 24h earlier — the no-model control every
+    forecast must beat to justify itself).
+
+    A planted noiseless series (linear trend + daily sine) rides along:
+    Holt-Winters tracks trend+season so its test MAE must be tiny,
+    while seasonal-naive structurally misses the trend by a constant
+    slope*24 = 12.0 per point — ``planted_ok`` asserts mae_hw < 2 and
+    mae_naive > 5 there (observed: 0.69 vs 12.0 — the HW residue is
+    the gamma-rate decay of trend contamination in the classical
+    seasonal seeds s_i = x_i - l_0, which absorb the within-season
+    ramp), and
+    ``split_ok`` pins every series' test window to exactly 24 points.
+    Rows-only (the HW recurrence is the Arrow kernel; its own dual_ok
+    scalar-replay invariant is asserted upstream in the operator).
+    """
+    _prep(spark)
+    import math
+
+    from pyspark.sql import Window
+
+    from wavelet_decomposition_spark.operators.tsfeatures import (
+        holt_winters,
+    )
+
+    i = F.col("id")
+    planted = spark.range(720).select(
+        F.lit("planted").alias("series_id"),
+        F.timestamp_seconds(F.lit(1767225600) + i * 3600).alias(
+            "bucket_ts"
+        ),
+        (
+            100.0
+            + 0.5 * i.cast("double")
+            + 20.0
+            * F.sin(i.cast("double") * F.lit(2.0 * math.pi / 24.0))
+        ).alias("v"),
+    )
+    base = _hourly_series(spark, sf_dir).unionByName(planted)
+    pos = F.row_number().over(
+        Window.partitionBy("series_id").orderBy("bucket_ts")
+    ) - 1
+    h_test = 24
+    idx = base.select("series_id", "bucket_ts", "v", pos.alias("p"))
+    n_by = idx.groupBy("series_id").agg(F.max("p").alias("_pmax"))
+    idx = idx.join(F.broadcast(n_by), "series_id").withColumn(
+        "_split", F.col("_pmax") - h_test
+    )
+    train = idx.where(F.col("p") <= F.col("_split"))
+    test = idx.where(F.col("p") > F.col("_split")).select(
+        "series_id",
+        (F.col("p") - F.col("_split")).cast("int").alias("h"),
+        F.col("v").alias("actual"),
+    )
+    fc = holt_winters(
+        train.select("series_id", "bucket_ts", "v"),
+        period=24,
+        horizon=h_test,
+        verify=False,
+    ).select("series_id", "h", "forecast")
+    joined = (
+        test.join(fc, ["series_id", "h"])
+        .join(
+            train.select(
+                "series_id",
+                (F.col("p") - F.col("_split") + h_test).alias("h"),
+                F.col("v").alias("naive_fc"),
+            ).where(F.col("h") >= 1),
+            ["series_id", "h"],
+        )
+    )
+    per = joined.groupBy("series_id").agg(
+        F.count(F.lit(1)).alias("n_test"),
+        F.avg(F.abs(F.col("forecast") - F.col("actual"))).alias(
+            "mae_hw"
+        ),
+        F.avg(F.abs(F.col("naive_fc") - F.col("actual"))).alias(
+            "mae_naive"
+        ),
+        F.avg(
+            2.0
+            * F.abs(F.col("forecast") - F.col("actual"))
+            / (F.abs("forecast") + F.abs("actual"))
+        ).alias("smape_hw"),
+    )
+    checks = per.agg(
+        F.min(F.col("n_test") == h_test).alias("split_ok"),
+        F.max(
+            F.when(
+                F.col("series_id") == "planted",
+                (F.col("mae_hw") < 2.0) & (F.col("mae_naive") > 5.0),
+            )
+        ).alias("planted_ok"),
+    )
+    return (
+        per.crossJoin(F.broadcast(checks))
+        .select(
+            "series_id", "n_test",
+            F.round("mae_hw", 6).alias("mae_hw"),
+            F.round("mae_naive", 6).alias("mae_naive"),
+            F.round("smape_hw", 6).alias("smape_hw"),
+            "split_ok", "planted_ok",
+        )
+        .orderBy("series_id")
+    )
+
+
+def _q_feature_binning(spark, sf_dir):
+    """Equal-frequency feature discretization (ML prep): per event
+    type, decile-bin the exact integer cents values with ntile(10)
+    over a TOTAL order (cents, event_id) — the tie-break makes bucket
+    membership deterministic, so the bin boundaries, counts, and
+    min/max per bin are hash-exact cross-engine (both engines implement
+    SQL-standard ntile: bucket sizes n/k with the first n mod k buckets
+    one larger). One exchange on the group key; the per-group sort is
+    the inherent cost of rank-based binning — at 100 TB use the GK
+    sketch quantiles (`sketch_quantiles`) for approximate boundaries
+    without the sort.
+    """
+    _prep(spark)
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf_dir).select(
+        "event_type",
+        "event_id",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    w = Window.partitionBy("event_type").orderBy("cents", "event_id")
+    return (
+        ev.withColumn("bin", F.ntile(10).over(w))
+        .groupBy("event_type", "bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("cents").alias("lo_cents"),
+            F.max("cents").alias("hi_cents"),
+            F.sum("cents").alias("sum_cents"),
+        )
+        .orderBy("event_type", "bin")
+    )
+
+
 def _q_json_extract_stats(spark, sf_dir):
     """Semi-structured extraction surface: pull the integer ``$.k``
     field out of the events JSON props column and aggregate it per
@@ -5249,6 +5395,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boolean_retrieval": _q_boolean_retrieval,
         "merge_upsert": _q_merge_upsert,
         "json_extract_stats": _q_json_extract_stats,
+        "feature_binning": _q_feature_binning,
+        "forecast_backtest": _q_forecast_backtest,
         "lang_id": _q_lang_id,
         "sessionize_skewed": _q_sessionize_skewed,
         "user_profile_skewed": _q_user_profile_skewed,
@@ -5401,6 +5549,23 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS turns,
                    round(sum(value), 6) AS total_value
             FROM events GROUP BY 1, 2
+        """,
+        "feature_binning": """
+            WITH ev AS (SELECT event_type, event_id,
+                               CAST(round(value * 100) AS BIGINT)
+                                   AS cents
+                        FROM events),
+            b AS (SELECT event_type, cents,
+                         ntile(10) OVER (PARTITION BY event_type
+                                         ORDER BY cents, event_id)
+                             AS bin
+                  FROM ev)
+            SELECT event_type, bin,
+                   count(*) AS n,
+                   min(cents) AS lo_cents,
+                   max(cents) AS hi_cents,
+                   CAST(sum(cents) AS BIGINT) AS sum_cents
+            FROM b GROUP BY 1, 2 ORDER BY 1, 2
         """,
         "json_extract_stats": """
             WITH k AS (SELECT event_type,

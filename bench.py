@@ -250,6 +250,15 @@ def main():
         # PAA+SAX symbolic words (pure-JVM relational, oracle-checked
         # down to the discrete symbols)
         "sax_words",
+        # search/retrieval surface: blocked inverted index, BM25, and
+        # posting intersection over the documents corpus
+        "inverted_index", "bm25_topk", "boolean_retrieval",
+        # graph centrality: 12 power iterations + planted star run
+        "pagerank",
+        # lakehouse primitives: CDC merge, FK gate, weighted sampling,
+        # JSON extraction, morton keys
+        "merge_upsert", "referential_integrity", "weighted_sample",
+        "json_extract_stats", "zorder_values",
     ]
     qs = entrymod.queries()
     for name in bench_queries:

@@ -75,6 +75,16 @@ DESIGNED_BNL = {
     "tier_wavelet_parity",
     # 1-row broadcast planted-motif/discord + recompute invariant joins
     "matrix_profile",
+    # 1-row broadcast corpus stats (N, avgdl) + invariant-checks joins
+    "bm25_topk",
+    # 1-row broadcast mass/contraction/planted-star invariant joins
+    "pagerank",
+    # per-FK 1-row broadcast orphan-count joins (7 FKs = 7 BNLs)
+    "referential_integrity",
+    # 1-row broadcast determinism/planted-dominance invariant joins
+    "weighted_sample",
+    # 1-row broadcast split/planted-separation invariant joins
+    "forecast_backtest",
 }
 
 
