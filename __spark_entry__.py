@@ -2221,6 +2221,43 @@ def _q_sax_words(spark, sf_dir):
     ).orderBy("series_id", "window_id")
 
 
+def _q_sax_anomaly(spark, sf_dir):
+    """HOT-SAX-style anomaly candidates (operators/sax.py
+    sax_rare_words): the 2 windows per series whose SAX word is rarest
+    within that series — Keogh's discord heuristic as an exact
+    deterministic rank ((freq, window_id) tie-break), so unlike classic
+    HOT-SAX search this is fully DuckDB-oracle-checked, discrete
+    symbols, frequencies, and ranks alike. Same exact integer
+    milli-unit pipeline as `sax_words`.
+    """
+    _prep(spark)
+    from wavelet_decomposition_spark.operators.sax import sax_rare_words
+
+    hr = (
+        _events(spark, sf_dir)
+        .groupBy(
+            F.col("event_type").alias("series_id"),
+            F.date_trunc("hour", F.col("ts")).alias("bucket_ts"),
+        )
+        .agg(
+            F.sum(F.round(F.col("value") * 100).cast("bigint")).alias(
+                "_cents"
+            ),
+            F.count(F.lit(1)).alias("_nev"),
+        )
+        .select(
+            "series_id",
+            "bucket_ts",
+            F.floor(
+                F.col("_cents").cast("double") * 10.0 / F.col("_nev")
+            ).alias("vm"),
+        )
+    )
+    return sax_rare_words(
+        hr, "vm", k=2, window_len=64, n_segments=8, alphabet=5
+    ).orderBy("series_id", "window_id")
+
+
 def _q_holt_winters(spark, sf_dir):
     """Additive Holt-Winters fit + 24-step forecast over the per-type
     hourly activity series (operators/tsfeatures.py holt_winters) — the
@@ -5397,6 +5434,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_extract_stats": _q_json_extract_stats,
         "feature_binning": _q_feature_binning,
         "forecast_backtest": _q_forecast_backtest,
+        "sax_anomaly": _q_sax_anomaly,
         "lang_id": _q_lang_id,
         "sessionize_skewed": _q_sessionize_skewed,
         "user_profile_skewed": _q_user_profile_skewed,
@@ -5783,6 +5821,65 @@ def oracle_sql() -> dict[str, str]:
                               ORDER BY doc_id) AS tfs
             FROM g GROUP BY 1, 2
             ORDER BY term, block_id
+        """,
+        "sax_anomaly": """
+            WITH hr AS (SELECT event_type AS series_id,
+                               date_trunc('hour', ts) AS bucket_ts,
+                               CAST(floor(
+                                   CAST(sum(CAST(round(value * 100)
+                                            AS BIGINT)) AS DOUBLE)
+                                   * 10.0 / count(*)) AS BIGINT) AS vm
+                        FROM events GROUP BY 1, 2),
+            stats AS (SELECT series_id,
+                             CAST(sum(vm) AS DOUBLE) AS gs,
+                             CAST(sum(vm * vm) AS DOUBLE) AS gss,
+                             count(*) AS gn
+                      FROM hr GROUP BY 1),
+            pos AS (SELECT series_id, bucket_ts, vm,
+                           row_number() OVER (PARTITION BY series_id
+                                              ORDER BY bucket_ts) - 1 AS p
+                    FROM hr),
+            seg AS (SELECT series_id,
+                           CAST(floor(p / 64.0) AS INT) AS window_id,
+                           CAST(floor((p % 64) / 8.0) AS INT) AS seg_id,
+                           CAST(sum(vm) AS DOUBLE) AS s,
+                           count(*) AS n,
+                           min(bucket_ts) AS t0
+                    FROM pos GROUP BY 1, 2, 3),
+            z AS (SELECT g.series_id, g.window_id, g.seg_id, g.t0, g.n,
+                         CASE WHEN sqrt(greatest(
+                                  st.gss / st.gn
+                                  - (st.gs / st.gn) * (st.gs / st.gn),
+                                  0.0)) = 0.0 THEN 0.0
+                              ELSE (g.s / g.n - st.gs / st.gn)
+                                   / sqrt(greatest(
+                                         st.gss / st.gn
+                                         - (st.gs / st.gn)
+                                           * (st.gs / st.gn),
+                                         0.0))
+                         END AS z
+                  FROM seg g JOIN stats st USING (series_id)),
+            sym AS (SELECT series_id, window_id, seg_id, t0, n,
+                           CASE WHEN z < -0.8416212335729142 THEN 'a'
+                                WHEN z < -0.2533471031357997 THEN 'b'
+                                WHEN z <  0.2533471031357997 THEN 'c'
+                                WHEN z <  0.8416212335729142 THEN 'd'
+                                ELSE 'e' END AS sy
+                    FROM z),
+            w AS (SELECT series_id, window_id,
+                         min(t0) AS window_start,
+                         string_agg(sy, '' ORDER BY seg_id) AS word
+                  FROM sym GROUP BY 1, 2 HAVING sum(n) = 64),
+            f AS (SELECT series_id, word, count(*) AS word_freq
+                  FROM w GROUP BY 1, 2),
+            r AS (SELECT w.series_id, w.window_id, w.window_start,
+                         w.word, f.word_freq,
+                         row_number() OVER (
+                             PARTITION BY w.series_id
+                             ORDER BY f.word_freq, w.window_id) AS rk
+                  FROM w JOIN f USING (series_id, word))
+            SELECT series_id, window_id, window_start, word, word_freq
+            FROM r WHERE rk <= 2 ORDER BY series_id, window_id
         """,
         "sax_words": """
             WITH hr AS (SELECT event_type AS series_id,

@@ -111,3 +111,42 @@ def test_multi_group_isolation_and_window_start(spark):
         str.maketrans("abcde", "edcba")
     )
     assert by["a"].window_start == 0 and by["a"].n_pts == 64
+
+
+def test_rare_words_find_planted_anomaly(spark):
+    from wavelet_decomposition_spark.operators.sax import sax_rare_words
+
+    # 8 identical daily-pattern windows, one corrupted window at idx 3:
+    # its word must be unique -> rank-1 rare word
+    import numpy as np
+
+    day = [int(1000 + 500 * np.sin(2 * np.pi * i / 64)) for i in range(64)]
+    vals = []
+    for w in range(8):
+        if w == 3:
+            vals += [v + (9000 if 16 <= i < 32 else 0)
+                     for i, v in enumerate(day)]
+        else:
+            vals += day
+    out = sax_rare_words(
+        _series_df(spark, vals), "vm", k=1,
+        window_len=64, n_segments=8, alphabet=5,
+    ).collect()
+    assert len(out) == 1
+    assert out[0].window_id == 3 and out[0].word_freq == 1
+
+
+def test_rare_words_deterministic_tiebreak_and_k(spark):
+    import pytest
+
+    from wavelet_decomposition_spark.operators.sax import sax_rare_words
+
+    # all windows identical -> every word_freq equal; tie-break must
+    # pick the lowest window_ids
+    vals = list(range(64)) * 4
+    out = sax_rare_words(
+        _series_df(spark, vals), "vm", k=2, window_len=64, n_segments=8
+    ).collect()
+    assert sorted(r.window_id for r in out) == [0, 1]
+    with pytest.raises(ValueError):
+        sax_rare_words(_series_df(spark, vals), "vm", k=0)

@@ -131,6 +131,48 @@ def paa(
     )
 
 
+def sax_rare_words(
+    series: DataFrame,
+    value_col: str,
+    k: int = 1,
+    window_len: int = 64,
+    n_segments: int = 8,
+    alphabet: int = 5,
+    group_col: str = "series_id",
+    ts_col: str = "bucket_ts",
+) -> DataFrame:
+    """HOT-SAX-style anomaly candidates: the ``k`` windows per series
+    whose SAX word is rarest WITHIN that series (a window shaped unlike
+    the series' recurring patterns gets a word nothing else uses —
+    Keogh's discord heuristic, here as the exact rank rather than the
+    search-order heuristic). Ties break on (freq, window_id), so the
+    result is deterministic and fully oracle-checkable. One extra hash
+    aggregate (word counts) + one window rank on top of
+    :func:`sax_words`; the per-series word table is tiny (<= windows
+    per series), so the count join broadcasts.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    words = sax_words(
+        series, value_col, window_len, n_segments, alphabet,
+        group_col=group_col, ts_col=ts_col,
+    )
+    freq = words.groupBy(group_col, "word").agg(
+        F.count(F.lit(1)).alias("word_freq")
+    )
+    ranked = words.join(F.broadcast(freq), [group_col, "word"]).withColumn(
+        "_rk",
+        F.row_number().over(
+            Window.partitionBy(group_col).orderBy(
+                "word_freq", "window_id"
+            )
+        ),
+    )
+    return ranked.where(F.col("_rk") <= k).select(
+        group_col, "window_id", "window_start", "word", "word_freq"
+    )
+
+
 def sax_words(
     series: DataFrame,
     value_col: str,
