@@ -258,7 +258,9 @@ def main():
         # lakehouse primitives: CDC merge, FK gate, weighted sampling,
         # JSON extraction, morton keys
         "merge_upsert", "referential_integrity", "weighted_sample",
-        "json_extract_stats", "zorder_values",
+        "json_extract_stats", "zorder_values", "zorder_layout",
+        # symbolic anomaly, rank binning, forecaster evaluation
+        "sax_anomaly", "feature_binning", "forecast_backtest",
     ]
     qs = entrymod.queries()
     for name in bench_queries:
