@@ -2221,6 +2221,62 @@ def _q_sax_words(spark, sf_dir):
     ).orderBy("series_id", "window_id")
 
 
+def _q_hybrid_search_rrf(spark, sf_dir):
+    """Hybrid search: Reciprocal Rank Fusion (operators/similarity.py
+    rrf_fuse — Cormack et al. 2009) of a dense VECTOR ranking
+    (brute-force cosine top-20 for query vec 0, the `ann_topk` scoring
+    path) and a LEXICAL ranking (total tf of {spark, data, join},
+    deterministic (tf desc, doc_id) tie-break, top-20) over the shared
+    doc corpus (vec_id aligns 1:1 with doc_id). rrf = 1/(60+rank_v) +
+    1/(60+rank_l), absent side contributes 0 — a single two-term float
+    expression per row, so given identical ranks the fused ordering is
+    bit-identical cross-engine and the WHOLE hybrid pipeline is
+    DuckDB-oracle-checked (ranks, fusion scores, and final top-10).
+    """
+    _prep(spark)
+    from wavelet_decomposition_spark.operators.invindex import tokenize
+    from wavelet_decomposition_spark.operators.similarity import (
+        brute_force_topk,
+        rrf_fuse,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qv = emb.where(F.col("vec_id") == 0).select(
+        F.lit(0).alias("query_id"), "embedding"
+    )
+    vec_rank = brute_force_topk(emb, qv, k=20).select("vec_id", "rank")
+    from pyspark.sql import Window
+
+    # top-20 FIRST (TakeOrderedAndProject: per-partition top-k + k-row
+    # merge), then rank the 20 survivors — the global-window-then-filter
+    # form would funnel the whole corpus through one task
+    lex_rank = (
+        tokenize(_docs(spark, sf_dir))
+        .where(F.col("term").isin(["spark", "data", "join"]))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("_tf"))
+        .orderBy(F.desc("_tf"), F.asc("doc_id"))
+        .limit(20)
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                Window.orderBy(F.desc("_tf"), F.asc("doc_id"))
+            ),
+        )
+        .select(F.col("doc_id").alias("vec_id"), "rank")
+    )
+    # absent-from-ranking ships as rank 0, not NULL: a NULL float
+    # column defeats order-insensitive value hashing (NaN hashes by
+    # object identity in Python 3.10+), so the gate and driver compare
+    # would false-mismatch on bit-identical outputs
+    return rrf_fuse(vec_rank, lex_rank, k=10).select(
+        F.col("vec_id").alias("doc_id"),
+        F.coalesce("rank_a", F.lit(0)).alias("rank_vec"),
+        F.coalesce("rank_b", F.lit(0)).alias("rank_lex"),
+        "rrf",
+    )
+
+
 def _q_sax_anomaly(spark, sf_dir):
     """HOT-SAX-style anomaly candidates (operators/sax.py
     sax_rare_words): the 2 windows per series whose SAX word is rarest
@@ -5435,6 +5491,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "feature_binning": _q_feature_binning,
         "forecast_backtest": _q_forecast_backtest,
         "sax_anomaly": _q_sax_anomaly,
+        "hybrid_search_rrf": _q_hybrid_search_rrf,
         "lang_id": _q_lang_id,
         "sessionize_skewed": _q_sessionize_skewed,
         "user_profile_skewed": _q_user_profile_skewed,
@@ -5821,6 +5878,37 @@ def oracle_sql() -> dict[str, str]:
                               ORDER BY doc_id) AS tfs
             FROM g GROUP BY 1, 2
             ORDER BY term, block_id
+        """,
+        "hybrid_search_rrf": """
+            WITH q AS (SELECT embedding::DOUBLE[] AS qv
+                       FROM embeddings WHERE vec_id = 0),
+            v AS (SELECT vec_id, rank FROM (
+                      SELECT e.vec_id,
+                             row_number() OVER (
+                                 ORDER BY list_cosine_similarity(
+                                     e.embedding::DOUBLE[], q.qv) DESC,
+                                 e.vec_id) AS rank
+                      FROM embeddings e, q)
+                  WHERE rank <= 20),
+            toks AS (SELECT doc_id,
+                            unnest(string_split_regex(
+                                lower(text), '[^a-z0-9]+')) AS term
+                     FROM documents),
+            l AS (SELECT doc_id AS vec_id, rank FROM (
+                      SELECT doc_id, count(*) AS tf,
+                             row_number() OVER (
+                                 ORDER BY count(*) DESC, doc_id) AS rank
+                      FROM toks
+                      WHERE term IN ('spark', 'data', 'join')
+                      GROUP BY doc_id)
+                  WHERE rank <= 20)
+            SELECT coalesce(v.vec_id, l.vec_id) AS doc_id,
+                   coalesce(v.rank, 0) AS rank_vec,
+                   coalesce(l.rank, 0) AS rank_lex,
+                   coalesce(1.0 / (60.0 + v.rank), 0.0)
+                 + coalesce(1.0 / (60.0 + l.rank), 0.0) AS rrf
+            FROM v FULL OUTER JOIN l ON v.vec_id = l.vec_id
+            ORDER BY rrf DESC, doc_id LIMIT 10
         """,
         "sax_anomaly": """
             WITH hr AS (SELECT event_type AS series_id,

@@ -68,6 +68,48 @@ def brute_force_topk(
     )
 
 
+def rrf_fuse(
+    rank_a: DataFrame,
+    rank_b: DataFrame,
+    k: int = 10,
+    c: int = 60,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Reciprocal Rank Fusion (Cormack et al. 2009) of two rankings —
+    the hybrid-search combiner behind every embedding+lexical RAG
+    retriever: rrf(d) = sum over rankings of 1/(c + rank_d), absent
+    docs contribute 0. Inputs are (id, rank) frames; output is the
+    fused top-k as (id, rank_a, rank_b, rrf), ordered and tie-broken
+    on (rrf desc, id).
+
+    Rank-based fusion needs no score calibration between modalities —
+    that is the point of RRF — and with exactly two rankings the score
+    is ONE two-term float expression per row (no aggregate), so the
+    fused ranking is bit-identical in any IEEE engine given identical
+    input ranks: the whole hybrid pipeline stays oracle-checkable.
+    One full-outer join of two k-row frames (broadcast both sides),
+    one top-k merge — negligible against the rankings themselves.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    a = rank_a.select(F.col(id_col), F.col("rank").alias("rank_a"))
+    b = rank_b.select(F.col(id_col), F.col("rank").alias("rank_b"))
+    contrib = lambda r: F.coalesce(  # noqa: E731
+        1.0 / (F.lit(float(c)) + F.col(r)), F.lit(0.0)
+    )
+    return (
+        a.join(b, id_col, "full_outer")
+        .select(
+            id_col,
+            "rank_a",
+            "rank_b",
+            (contrib("rank_a") + contrib("rank_b")).alias("rrf"),
+        )
+        .orderBy(F.desc("rrf"), id_col)
+        .limit(k)
+    )
+
+
 def _bucket_expr(vec_col, planes: np.ndarray):
     vec = F.col(vec_col) if isinstance(vec_col, str) else vec_col
     bits = [
