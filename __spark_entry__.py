@@ -2221,6 +2221,100 @@ def _q_sax_words(spark, sf_dir):
     ).orderBy("series_id", "window_id")
 
 
+def _q_topn_others(spark, sf_dir):
+    """Top-N with OTHERS rollup (the TimescaleDB `topn_agg` /
+    dashboard-legend pattern): the 3 highest-revenue event types keep
+    their identity, everything else collapses into one 'OTHER' bucket
+    so the output cardinality is fixed no matter how many tail
+    categories exist. Exact integer cents; deterministic
+    (revenue desc, event_type) cut; DuckDB-oracle-checked. Two hash
+    aggregates over a 5-row intermediate — the N-row re-aggregation is
+    free at any scale because the first aggregate already reduced to
+    one row per category.
+    """
+    _prep(spark)
+    from pyspark.sql import Window
+
+    per = (
+        _events(spark, sf_dir)
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.round(F.col("value") * 100).cast("bigint")).alias(
+                "cents"
+            ),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    ranked = per.withColumn(
+        "_rk",
+        F.row_number().over(
+            Window.orderBy(F.desc("cents"), F.asc("event_type"))
+        ),
+    )
+    return (
+        ranked.select(
+            F.when(F.col("_rk") <= 3, F.col("event_type"))
+            .otherwise(F.lit("OTHER"))
+            .alias("bucket"),
+            "cents",
+            "n",
+        )
+        .groupBy("bucket")
+        .agg(
+            F.sum("cents").alias("cents"),
+            F.sum("n").alias("n"),
+            F.count(F.lit(1)).alias("n_categories"),
+        )
+        .orderBy(F.desc("cents"), "bucket")
+    )
+
+
+def _q_session_paths(spark, sf_dir):
+    """Session path mining: the event-type BIGRAMS users actually walk
+    (lead() over each user's time-ordered stream, transitions broken at
+    30-minute session gaps), counted corpus-wide with distinct-user
+    support — the navigation-pattern primitive behind funnel design.
+    One exchange on user_id shared by the session window and the lead;
+    exact integers; deterministic (event_id tie-break on equal
+    timestamps); DuckDB-oracle-checked.
+    """
+    _prep(spark)
+    from pyspark.sql import Window
+
+    from wavelet_decomposition_spark.operators._time import us as _tus
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ev = _events(spark, sf_dir).select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    gap_us = 30 * 60 * 1_000_000
+    flagged = ev.select(
+        "user_id",
+        "event_type",
+        "ts",
+        F.lead("event_type").over(w).alias("next_type"),
+        F.lead("ts").over(w).alias("_next_ts"),
+    ).select(
+        "user_id",
+        "event_type",
+        "next_type",
+        ((_tus("_next_ts") - _tus("ts")) <= gap_us).alias(
+            "_same_session"
+        ),
+    )
+    return (
+        flagged.where(
+            F.col("next_type").isNotNull() & F.col("_same_session")
+        )
+        .groupBy("event_type", "next_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_transitions"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy(F.desc("n_transitions"), "event_type", "next_type")
+    )
+
+
 def _q_hybrid_search_rrf(spark, sf_dir):
     """Hybrid search: Reciprocal Rank Fusion (operators/similarity.py
     rrf_fuse — Cormack et al. 2009) of a dense VECTOR ranking
@@ -5492,6 +5586,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "forecast_backtest": _q_forecast_backtest,
         "sax_anomaly": _q_sax_anomaly,
         "hybrid_search_rrf": _q_hybrid_search_rrf,
+        "topn_others": _q_topn_others,
+        "session_paths": _q_session_paths,
         "lang_id": _q_lang_id,
         "sessionize_skewed": _q_sessionize_skewed,
         "user_profile_skewed": _q_user_profile_skewed,
@@ -5880,6 +5976,40 @@ def oracle_sql() -> dict[str, str]:
                               ORDER BY doc_id) AS tfs
             FROM g GROUP BY 1, 2
             ORDER BY term, block_id
+        """,
+        "topn_others": """
+            WITH per AS (SELECT event_type,
+                                CAST(sum(CAST(round(value * 100)
+                                         AS BIGINT)) AS BIGINT) AS cents,
+                                count(*) AS n
+                         FROM events GROUP BY 1),
+            ranked AS (SELECT *,
+                              row_number() OVER (
+                                  ORDER BY cents DESC, event_type)
+                                  AS rk
+                       FROM per)
+            SELECT CASE WHEN rk <= 3 THEN event_type
+                        ELSE 'OTHER' END AS bucket,
+                   CAST(sum(cents) AS BIGINT) AS cents,
+                   CAST(sum(n) AS BIGINT) AS n,
+                   count(*) AS n_categories
+            FROM ranked GROUP BY 1 ORDER BY cents DESC, bucket
+        """,
+        "session_paths": """
+            WITH seq AS (
+                SELECT user_id, event_type,
+                       lead(event_type) OVER w AS next_type,
+                       epoch_us(lead(ts) OVER w) - epoch_us(ts)
+                           <= 30 * 60 * 1000000 AS same_session
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+            SELECT event_type, next_type,
+                   count(*) AS n_transitions,
+                   count(DISTINCT user_id) AS n_users
+            FROM seq
+            WHERE next_type IS NOT NULL AND same_session
+            GROUP BY 1, 2
+            ORDER BY n_transitions DESC, event_type, next_type
         """,
         "hybrid_search_rrf": """
             WITH q AS (SELECT embedding::DOUBLE[] AS qv

@@ -261,6 +261,8 @@ def main():
         "json_extract_stats", "zorder_values", "zorder_layout",
         # symbolic anomaly, rank binning, forecaster evaluation
         "sax_anomaly", "feature_binning", "forecast_backtest",
+        # hybrid search: RRF fusion of dense + lexical rankings
+        "hybrid_search_rrf",
     ]
     qs = entrymod.queries()
     for name in bench_queries:
