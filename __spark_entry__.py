@@ -5588,10 +5588,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_search_rrf": _q_hybrid_search_rrf,
         "topn_others": _q_topn_others,
         "session_paths": _q_session_paths,
-        "lang_id": _q_lang_id,
         "sessionize_skewed": _q_sessionize_skewed,
         "user_profile_skewed": _q_user_profile_skewed,
-        "cms_heavy_hitters": _q_cms_heavy_hitters,
         "doc_chunks": _q_doc_chunks,
         "cube_profile": _q_cube_profile,
         "hopping_window": _q_hopping_window,
@@ -5600,9 +5598,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # late round-5 additions (retention engine, SCD2, profiling) —
         # the 50-slot window can't hold every unchecked query, so the
         # ORACLE entries (hash-exact external signal) and the flagship
-        # golden-parity queries take the remaining slots; the nine
-        # displaced rows-only entries (pack_sequences,
-        # sketch_tier_merge, dtw_pairs, dwt_denoise,
+        # golden-parity queries take the remaining slots; the eleven
+        # displaced rows-only entries (cms_heavy_hitters, lang_id,
+        # pack_sequences, sketch_tier_merge, dtw_pairs, dwt_denoise,
         # sliding_distinct_sketch, response_latency, compact_tier,
         # tier_refresh_resume, tier_retention_expiry — all locally
         # gate-green, pytest-invariant-covered) lead the next rotation
@@ -5632,6 +5630,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wavelet_betas_golden": _q_wavelet_betas_golden,
         # -- (3) rows-only (gate-asserted invariant columns; no SQL oracle,
         #        driver records the weaker rows-only check) ----------------
+        "cms_heavy_hitters": _q_cms_heavy_hitters,
+        "lang_id": _q_lang_id,
         "pack_sequences": _q_pack_sequences,
         "sketch_tier_merge": _q_sketch_tier_merge,
         "dtw_pairs": _q_dtw_pairs,
