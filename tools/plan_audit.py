@@ -85,6 +85,9 @@ DESIGNED_BNL = {
     "weighted_sample",
     # 1-row broadcast split/planted-separation invariant joins
     "forecast_backtest",
+    # brute-force ANN's broadcast query-vector crossJoin (ann_topk's
+    # designed shape) feeding the fusion
+    "hybrid_search_rrf",
 }
 
 
