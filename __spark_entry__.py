@@ -2221,6 +2221,40 @@ def _q_sax_words(spark, sf_dir):
     ).orderBy("series_id", "window_id")
 
 
+def _q_triangle_count(spark, sf_dir):
+    """Exact triangle count + global clustering coefficient
+    (operators/components.py triangle_stats) over the supplier
+    co-supply graph (suppliers sharing a part, from distinct
+    lineitem (part, supplier) pairs). The Spark side runs
+    degree-ordered orientation (Suri-Vassilvitskii — out-degree
+    bounded by ~sqrt(m) even on celebrity nodes); the DuckDB oracle
+    counts via the naive u<v<w three-way enumeration — a DIFFERENT
+    algorithm that must produce the identical exact integers, plus the
+    clustering coefficient as one division of exact ints.
+    """
+    _prep(spark)
+    from wavelet_decomposition_spark.operators.components import (
+        triangle_stats,
+    )
+
+    ps = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+    )
+    b = ps.select(
+        F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s2")
+    )
+    pairs = (
+        ps.join(b, ps.l_partkey == b.p)
+        .where(F.col("l_suppkey") < F.col("s2"))
+        .select(
+            F.col("l_suppkey").alias("id_a"), F.col("s2").alias("id_b")
+        )
+    )
+    return triangle_stats(pairs)
+
+
 def _q_topn_others(spark, sf_dir):
     """Top-N with OTHERS rollup (the TimescaleDB `topn_agg` /
     dashboard-legend pattern): the 3 highest-revenue event types keep
@@ -5588,6 +5622,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_search_rrf": _q_hybrid_search_rrf,
         "topn_others": _q_topn_others,
         "session_paths": _q_session_paths,
+        "triangle_count": _q_triangle_count,
         "sessionize_skewed": _q_sessionize_skewed,
         "user_profile_skewed": _q_user_profile_skewed,
         "doc_chunks": _q_doc_chunks,
@@ -5976,6 +6011,33 @@ def oracle_sql() -> dict[str, str]:
                               ORDER BY doc_id) AS tfs
             FROM g GROUP BY 1, 2
             ORDER BY term, block_id
+        """,
+        "triangle_count": """
+            WITH ps AS (SELECT DISTINCT l_partkey AS p,
+                                        l_suppkey AS s
+                        FROM lineitem),
+            e AS (SELECT DISTINCT a.s AS u, b.s AS v
+                  FROM ps a JOIN ps b ON a.p = b.p AND a.s < b.s),
+            deg AS (SELECT node, count(*) AS deg FROM (
+                        SELECT u AS node FROM e
+                        UNION ALL
+                        SELECT v AS node FROM e)
+                    GROUP BY 1),
+            tri AS (SELECT count(*) AS n_triangles
+                    FROM e ab
+                    JOIN e bc ON ab.v = bc.u
+                    JOIN e ac ON ab.u = ac.u AND bc.v = ac.v),
+            agg AS (SELECT count(*) AS n_nodes,
+                           CAST(sum(deg * (deg - 1) / 2) AS BIGINT)
+                               AS n_wedges
+                    FROM deg),
+            ne AS (SELECT count(*) AS n_edges FROM e)
+            SELECT agg.n_nodes, ne.n_edges, agg.n_wedges,
+                   tri.n_triangles,
+                   CASE WHEN agg.n_wedges = 0 THEN 0.0
+                        ELSE 3.0 * tri.n_triangles / agg.n_wedges
+                   END AS global_clustering
+            FROM agg, ne, tri
         """,
         "topn_others": """
             WITH per AS (SELECT event_type,

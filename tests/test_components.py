@@ -89,3 +89,45 @@ def test_dedup_clusters_singletons_and_canonical(spark):
     assert (
         out[out["is_canonical"]].index == out[out["is_canonical"]]["component"]
     ).all()
+
+
+def test_triangle_stats_complete_graph(spark):
+    from wavelet_decomposition_spark.operators.components import (
+        triangle_stats,
+    )
+
+    # K4: 6 edges, 4 triangles, 12 wedges, clustering exactly 1.0
+    e = [(a, b) for a in range(4) for b in range(4) if a < b]
+    out = triangle_stats(
+        spark.createDataFrame(e, "id_a long, id_b long")
+    ).collect()[0]
+    assert (out.n_nodes, out.n_edges, out.n_wedges, out.n_triangles) == (
+        4, 6, 12, 4,
+    )
+    assert out.global_clustering == 1.0
+
+
+def test_triangle_stats_star_and_path_have_none(spark):
+    from wavelet_decomposition_spark.operators.components import (
+        triangle_stats,
+    )
+
+    star = [(0, i) for i in range(1, 6)]
+    out = triangle_stats(
+        spark.createDataFrame(star, "id_a long, id_b long")
+    ).collect()[0]
+    assert out.n_triangles == 0 and out.n_wedges == 10
+    assert out.global_clustering == 0.0
+
+
+def test_triangle_stats_dedups_and_ignores_direction(spark):
+    from wavelet_decomposition_spark.operators.components import (
+        triangle_stats,
+    )
+
+    # one triangle given with duplicates, reversed edges, self-loop
+    e = [(1, 2), (2, 1), (2, 3), (3, 1), (1, 3), (2, 2)]
+    out = triangle_stats(
+        spark.createDataFrame(e, "id_a long, id_b long")
+    ).collect()[0]
+    assert (out.n_edges, out.n_triangles) == (3, 1)

@@ -108,6 +108,96 @@ def connected_components(
     return children.unionByName(roots).distinct()
 
 
+def triangle_stats(
+    edges: DataFrame,
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+) -> DataFrame:
+    """Exact triangle count + global clustering coefficient over an
+    undirected graph — the third classic graph kernel beside
+    :func:`connected_components` and operators/pagerank.py.
+
+    Algorithm: degree-ordered orientation (the standard shuffle-safe
+    form — Suri & Vassilvitskii's MR triangle counting): orient every
+    undirected edge from the lower-(degree, id) endpoint to the higher,
+    so each node's out-degree is bounded by ~sqrt(m) no matter how
+    skewed the raw degrees are (a celebrity node never enumerates its
+    fan pairs — its edges all point INTO it). Wedges are then a
+    self-join of the oriented edge list on the source, and each
+    triangle is counted exactly once when the wedge's two endpoints are
+    themselves connected. Two shuffles (degree join, wedge-closing
+    join); no Python.
+
+    Returns ONE row: (n_nodes, n_edges, n_wedges, n_triangles,
+    global_clustering) where n_wedges = sum C(deg, 2) over nodes and
+    global_clustering = 3 * triangles / wedges (0.0 on a wedge-free
+    graph) — both from exact integers, so the whole row is
+    oracle-checkable bit-for-bit.
+    """
+    e = (
+        edges.select(
+            F.col(a_col).cast("bigint").alias("u"),
+            F.col(b_col).cast("bigint").alias("v"),
+        )
+        .where(F.col("u") != F.col("v"))
+        .select(
+            F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v")
+        )
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("u").alias("node"))
+        .unionAll(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    base = deg.agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.coalesce(
+            F.sum(F.col("deg") * (F.col("deg") - 1) / 2).cast("bigint"),
+            F.lit(0),
+        ).alias("n_wedges"),
+    ).crossJoin(
+        F.broadcast(e.agg(F.count(F.lit(1)).alias("n_edges")))
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("deg").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("deg").alias("dv"))
+    lower_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    o = (
+        e.join(du, "u")
+        .join(dv, "v")
+        .select(
+            F.when(lower_first, F.col("u"))
+            .otherwise(F.col("v"))
+            .alias("src"),
+            F.when(lower_first, F.col("v"))
+            .otherwise(F.col("u"))
+            .alias("dst"),
+        )
+    )
+    o2 = o.select(F.col("src"), F.col("dst").alias("dst2"))
+    wedges = o.join(o2, "src").where(F.col("dst") < F.col("dst2"))
+    tri = wedges.join(
+        e,
+        (F.least("dst", "dst2") == F.col("u"))
+        & (F.greatest("dst", "dst2") == F.col("v")),
+        "left_semi",
+    ).agg(F.count(F.lit(1)).alias("n_triangles"))
+    return base.crossJoin(F.broadcast(tri)).select(
+        "n_nodes",
+        "n_edges",
+        "n_wedges",
+        "n_triangles",
+        F.when(F.col("n_wedges") == 0, F.lit(0.0))
+        .otherwise(
+            3.0 * F.col("n_triangles") / F.col("n_wedges")
+        )
+        .alias("global_clustering"),
+    )
+
+
 def dedup_clusters(
     nodes: DataFrame,
     pairs: DataFrame,
