@@ -5612,7 +5612,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": _q_bm25_topk,
         "zorder_values": _q_zorder_values,
         "zorder_layout": _q_zorder_layout,
-        "weighted_sample": _q_weighted_sample,
         "boolean_retrieval": _q_boolean_retrieval,
         "merge_upsert": _q_merge_upsert,
         "json_extract_stats": _q_json_extract_stats,
@@ -5634,7 +5633,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the 50-slot window can't hold every unchecked query, so the
         # ORACLE entries (hash-exact external signal) and the flagship
         # golden-parity queries take the remaining slots; the eleven
-        # displaced rows-only entries (cms_heavy_hitters, lang_id,
+        # displaced rows-only entries (weighted_sample,
+        # cms_heavy_hitters, lang_id,
         # pack_sequences, sketch_tier_merge, dtw_pairs, dwt_denoise,
         # sliding_distinct_sketch, response_latency, compact_tier,
         # tier_refresh_resume, tier_retention_expiry — all locally
@@ -5665,6 +5665,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wavelet_betas_golden": _q_wavelet_betas_golden,
         # -- (3) rows-only (gate-asserted invariant columns; no SQL oracle,
         #        driver records the weaker rows-only check) ----------------
+        "weighted_sample": _q_weighted_sample,
         "cms_heavy_hitters": _q_cms_heavy_hitters,
         "lang_id": _q_lang_id,
         "pack_sequences": _q_pack_sequences,

@@ -263,8 +263,8 @@ def main():
         "sax_anomaly", "feature_binning", "forecast_backtest",
         # hybrid search: RRF fusion of dense + lexical rankings
         "hybrid_search_rrf",
-        # dashboard rollup + session sequence mining
-        "topn_others", "session_paths",
+        # dashboard rollup + session sequence mining + graph kernel
+        "topn_others", "session_paths", "triangle_count",
     ]
     qs = entrymod.queries()
     for name in bench_queries:
