@@ -60,3 +60,13 @@ def test_convergence_metadata(spark):
     ).collect()
     # uniform start on a cycle converges immediately: one iteration
     assert all(r.n_iter == 1 and r.delta_l1 <= 1e-3 for r in out)
+
+
+def test_null_endpoint_edges_dropped(spark):
+    e = spark.createDataFrame(
+        [(1, 2), (2, 1), (None, 3), (3, None)], "src long, dst long"
+    )
+    out = pagerank(e, max_iter=8).collect()
+    # only the mutual pair remains; no NULL node row, mass still 1
+    assert sorted(r.node for r in out) == [1, 2]
+    assert abs(sum(r.rank for r in out) - 1.0) < 1e-12

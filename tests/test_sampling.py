@@ -191,3 +191,18 @@ def test_weighted_sample_plan_is_take_ordered(spark):
     plan = weighted_sample(df, 5, "w")._jdf.queryExecution(
     ).executedPlan().toString()
     assert "TakeOrderedAndProject" in plan  # top-k merge, no global sort
+
+
+def test_weighted_sample_null_keys_excluded(spark):
+    from wavelet_decomposition_spark.operators.sampling import (
+        weighted_sample,
+    )
+
+    df = spark.createDataFrame(
+        [(None, 5.0), (None, 5.0), (1, 1.0), (2, 1.0)],
+        "doc_id long, w double",
+    )
+    got = sorted(
+        r.doc_id for r in weighted_sample(df, 10, "w").collect()
+    )
+    assert got == [1, 2]

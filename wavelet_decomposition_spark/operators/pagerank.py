@@ -50,6 +50,10 @@ def pagerank(
             F.col(src_col).cast("bigint").alias("src"),
             F.col(dst_col).cast("bigint").alias("dst"),
         )
+        # a NULL endpoint is not a node: the contribution join would
+        # silently drop the edge while the node set kept a NULL row
+        # whose rank never receives mass — drop the edge up front
+        .where(F.col("src").isNotNull() & F.col("dst").isNotNull())
         .distinct()
         .localCheckpoint()
     )

@@ -87,14 +87,18 @@ def weighted_sample(
     never a global sort, the 100-TB shape. Ties (possible only via
     hash collision) break on the key. Rows with weight <= 0 or NULL are
     never sampled (a zero-weight doc means "excluded", and A-ES is
-    undefined there) — count them upstream if they need auditing.
+    undefined there), and neither are NULL-keyed rows (every NULL key
+    hashes to the SAME u, so they would share one draw instead of
+    drawing independently) — count both upstream if they need auditing.
     """
     if k < 1:
         raise ValueError("k must be >= 1")
     u = hash_bucket(key_col, seed, method)
     es = F.log(F.greatest(u, F.lit(2.0**-53))) / F.col(weight_col)
     return (
-        df.where(F.col(weight_col) > 0)
+        df.where(
+            (F.col(weight_col) > 0) & F.col(key_col).isNotNull()
+        )
         .withColumn("_es_key", es)
         .orderBy(F.desc("_es_key"), key_col)
         .limit(k)

@@ -79,8 +79,12 @@ def paa(
 ) -> DataFrame:
     """Piecewise Aggregate Approximation over tumbling windows.
 
-    ``value_col`` must be an exact-integer-unit column (BIGINT). Each
-    complete ``window_len``-row window is cut into ``n_segments`` equal
+    ``value_col`` must be an exact-integer-unit column (BIGINT), and
+    the input must have ONE row per (group, ts) — positions come from a
+    rank over ``ts_col``, so duplicate timestamps would make window
+    membership partitioning-order-dependent. Compose with the rollup /
+    gapfill operators, which guarantee exactly that grid. Each complete
+    ``window_len``-row window is cut into ``n_segments`` equal
     segments; each segment emits its mean as a double (exact integer
     sum / exact integer count — one IEEE division). Incomplete tail
     windows are dropped (their PAA would mix frame sizes).
