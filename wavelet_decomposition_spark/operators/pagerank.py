@@ -14,13 +14,18 @@ keeps total mass EXACTLY 1 (up to float roundoff), which the driver
 query asserts per run.
 
 Scale design (100 TB): per iteration — one broadcast-free equi-join of
-the rank vector to the edge list on ``src`` (both sides hash-partition
-on the same key; Catalyst reuses the exchange across iterations since
-the join key never changes) and one hash aggregate on ``dst``. Edges
-are deduplicated, pre-projected, and checkpointed ONCE; the rank
-vector is the only thing that moves between rounds. Dangling mass and
-the L1 convergence delta are single-row aggregates (bounded scalar
-collects, the components.py contract). No Python stage anywhere.
+the rank vector to the edge list on ``src`` and one hash aggregate on
+``dst``. Edges are deduplicated, pre-projected, HASH-PARTITIONED ON
+``src``, and checkpointed ONCE — ``localCheckpoint`` preserves the
+physical output partitioning in the ``LogicalRDD``, so every
+iteration's contribution join shuffles ONLY the (tiny) rank vector to
+match the (huge) stationary edge partitioning, never the edges
+themselves. The rank vector is the only thing that moves between
+rounds. Dangling mass and the L1 convergence delta are computed in ONE
+fused single-row aggregate over the just-checkpointed rank frame
+(bounded scalar collect, the components.py contract) — two Spark jobs
+per iteration total (materialize + fused scalars), not three. No
+Python stage anywhere.
 """
 
 from __future__ import annotations
@@ -45,6 +50,12 @@ def pagerank(
     they are run-level facts riding the output for invariant gating).
     Duplicate (src, dst) rows collapse to one edge.
     """
+    # explicit partition count pins the edge-side HashPartitioning so
+    # AQE cannot re-coalesce it; the per-iteration join then shuffles
+    # only the rank side (and only to match this stationary layout)
+    n_part = int(
+        edges.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+    )
     e = (
         edges.select(
             F.col(src_col).cast("bigint").alias("src"),
@@ -55,6 +66,7 @@ def pagerank(
         # whose rank never receives mass — drop the edge up front
         .where(F.col("src").isNotNull() & F.col("dst").isNotNull())
         .distinct()
+        .repartition(n_part, "src")
         .localCheckpoint()
     )
     nodes = (
@@ -85,11 +97,15 @@ def pagerank(
         .localCheckpoint()
     )
     base = (1.0 - damping) / n
+    # fused scalar pass: dangling mass for the NEXT iteration and the
+    # L1 delta of the one just taken come out of one collect over the
+    # just-checkpointed frame (the delta column is absent on the
+    # initial frame, so seed it with infinity)
+    dangling = ranks.where(F.col("outdeg") == 0).agg(
+        F.coalesce(F.sum("rank"), F.lit(0.0)).alias("m")
+    ).collect()[0]["m"]
     n_iter, delta = 0, float("inf")
     for n_iter in range(1, max_iter + 1):
-        dangling = ranks.where(F.col("outdeg") == 0).agg(
-            F.coalesce(F.sum("rank"), F.lit(0.0)).alias("m")
-        ).collect()[0]["m"]
         contrib = (
             e.join(
                 ranks.select(
@@ -126,9 +142,14 @@ def pagerank(
             )
             .localCheckpoint()
         )
-        delta = new.agg(
-            F.sum(F.abs(F.col("rank") - F.col("_prev"))).alias("d")
-        ).collect()[0]["d"]
+        scalars = new.agg(
+            F.sum(F.abs(F.col("rank") - F.col("_prev"))).alias("d"),
+            F.coalesce(
+                F.sum(F.when(F.col("outdeg") == 0, F.col("rank"))),
+                F.lit(0.0),
+            ).alias("m"),
+        ).collect()[0]
+        delta, dangling = scalars["d"], scalars["m"]
         ranks = new.drop("_prev")
         if delta <= tol:
             break
