@@ -4016,6 +4016,132 @@ def _q_lang_id(spark, sf_dir):
     )
 
 
+def _q_hurst_rs(spark, sf_dir):
+    """Rescaled-range ladder (operators/hurst.py rs_ladder) over the
+    per-type hourly activity series — the long-memory sufficient
+    statistics under the Hurst exponent: per (series, dyadic window
+    size n), the number of full chunks and the exact BIGINT sum of
+    floor(R/S * 1e6) over them. The series is quantized to integer
+    whole cents (R/S is scale-invariant, so granularity only perturbs
+    the hourly-mean rounding; cents — unlike the micro-units ts_rolling
+    uses — keep every chunk moment inside the 2^53 exact-double
+    envelope) so chunk sums, means (power-of-two divisors), cumulative
+    deviations, and variances are all exact; R/S is one IEEE sqrt + one
+    division — bit-identical
+    cross-engine, floored to micro-units BEFORE the order-sensitive
+    summation. The float log-log slope on top (hurst_exponent) is
+    pytest-verified against numpy (tests/test_hurst.py). One exchange
+    on the (series, n, chunk) ladder, window ops + two hash
+    aggregates, no Python stage.
+    """
+    _prep(spark)
+    from wavelet_decomposition_spark.operators.hurst import rs_ladder
+
+    hourly = (
+        _events(spark, sf_dir)
+        .select(
+            "event_type",
+            F.date_trunc("hour", F.col("ts")).alias("bucket_ts"),
+            F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+        )
+        .groupBy("event_type", "bucket_ts")
+        .agg(
+            # whole cents (NOT micro-units): R/S is scale-invariant, and
+            # cents keep every chunk moment (s1^2 <= ~4e11, s2 <= ~6e9)
+            # exactly representable — micro-units would overflow BIGINT
+            # and leave the 2^53 exactness envelope
+            F.floor(
+                F.sum("cents").cast("double") / F.count(F.lit(1))
+            )
+            .cast("bigint")
+            .alias("vm")
+        )
+    )
+    return (
+        rs_ladder(
+            hourly, value_col="vm", group_col="event_type",
+            ts_col="bucket_ts", sizes=(8, 16, 32, 64),
+        )
+        .select(
+            F.col("event_type").alias("series_id"),
+            F.col("n").cast("bigint").alias("n"),
+            F.col("n_chunks").cast("bigint").alias("n_chunks"),
+            F.col("sum_rs_micro").cast("bigint").alias("sum_rs_micro"),
+        )
+        .orderBy("series_id", "n")
+    )
+
+
+def _q_trigram_quality(spark, sf_dir):
+    """Character-trigram corpus-familiarity statistics
+    (operators/charlm.py trigram_quality) — the integer-exact core of
+    the CCNet/KenLM quality-filter family: per document, total trigram
+    occurrences, corpus-rare occurrences (profile frequency <= 2), and
+    the exact sum of corpus frequencies over its occurrences. The
+    profile is self-built from the scored corpus (first-pass mode) and
+    is charset-bounded (<= |alphabet|^3 rows — broadcast side forever),
+    so the plan is one broadcast-hash join + two hash aggregates. A
+    planted 2-char document exercises the empty-trigram path in both
+    engines (it must appear with all-zero statistics). The float
+    log-prob layer (trigram_logprob) is pytest-verified against numpy.
+    """
+    _prep(spark)
+    from wavelet_decomposition_spark.operators.charlm import (
+        trigram_quality,
+    )
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    planted = spark.createDataFrame(
+        [(20_000_000, "ab")], "doc_id bigint, text string"
+    )
+    return trigram_quality(
+        docs.unionByName(planted), rare_max=2
+    ).orderBy("doc_id")
+
+
+def _q_edit_distance_pairs(spark, sf_dir):
+    """Prefix-blocked exact Levenshtein near-dup pairs
+    (operators/dedup.py edit_distance_pairs) — the ORDERED-corruption
+    detector next to the set-based family (Jaccard/MinHash/SimHash see
+    bags; edit distance sees character order — OCR noise, truncated
+    tails, template field edits). Ten planted tail-perturbed copies
+    (doc_id + 20,000,000, normalized text + ' zq' => distance exactly
+    3 from their originals) must surface through the block join, the
+    length lower-bound prune, and the DP itself; natural exact-dup
+    groups surface at distance 0. Blocking is a hash equi-join on the
+    24-char normalized prefix (never all-pairs; per-block fan-out is
+    quadratic in near-dup family size only). Both engines run the
+    identical blocking + levenshtein — integer-exact. (Spark counts
+    characters, DuckDB bytes; the gate corpus is verified ASCII-only.)
+    """
+    _prep(spark)
+    from wavelet_decomposition_spark.operators.dedup import (
+        edit_distance_pairs,
+    )
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    planted = (
+        docs.orderBy("doc_id").limit(10)
+        .select(
+            (F.col("doc_id") + 20_000_000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" zq")).alias("text"),
+        )
+    )
+    return (
+        edit_distance_pairs(
+            docs.unionByName(planted), max_dist=16, block_prefix=24
+        )
+        .select(
+            "id_a",
+            "id_b",
+            F.col("dist").cast("bigint").alias("dist"),
+            F.col("len_a").cast("bigint").alias("len_a"),
+            F.col("len_b").cast("bigint").alias("len_b"),
+        )
+        .orderBy("id_a", "id_b")
+    )
+
+
 # ---------------------------------------------------------------------------
 # rows-only (non-SQL-expressible) queries
 # ---------------------------------------------------------------------------
@@ -5663,6 +5789,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "full_decomposition": _q_full_decomposition,
         "translation_full": _q_translation_full,
         "wavelet_betas_golden": _q_wavelet_betas_golden,
+        # -- (2b) oracle queries added AFTER the 50-slot window filled:
+        #        locally gate-verified this round (hash-exact vs DuckDB);
+        #        they lead the next rotation together with the deferred
+        #        rows-only entries below ---------------------------------
+        "hurst_rs": _q_hurst_rs,
+        "trigram_quality": _q_trigram_quality,
+        "edit_distance_pairs": _q_edit_distance_pairs,
         # -- (3) rows-only (gate-asserted invariant columns; no SQL oracle,
         #        driver records the weaker rows-only check) ----------------
         "weighted_sample": _q_weighted_sample,
@@ -7691,5 +7824,105 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(value), 6) AS total_value
             FROM marked
             GROUP BY user_id, s_idx
+        """,
+        "hurst_rs": """
+            WITH hr AS (SELECT event_type AS series_id,
+                               date_trunc('hour', ts) AS bucket_ts,
+                               CAST(floor(
+                                   CAST(sum(CAST(round(value * 100)
+                                            AS BIGINT)) AS DOUBLE)
+                                   / count(*)) AS BIGINT) AS vm
+                        FROM events GROUP BY 1, 2),
+            idx AS (SELECT series_id, vm,
+                           row_number() OVER (PARTITION BY series_id
+                                              ORDER BY bucket_ts) - 1 AS rn
+                    FROM hr),
+            ladder AS (SELECT series_id, vm, rn,
+                              unnest([8, 16, 32, 64]) AS n
+                       FROM idx),
+            chunked AS (SELECT series_id, n, vm, rn,
+                               CAST(floor(rn / n) AS BIGINT) AS chunk
+                        FROM ladder),
+            winstats AS (
+                SELECT series_id, n, chunk, vm,
+                       count(*) OVER c AS cnt,
+                       sum(vm) OVER c AS s1,
+                       sum(vm * vm) OVER c AS s2,
+                       sum(vm) OVER r AS cum,
+                       row_number() OVER r AS t
+                FROM chunked
+                WINDOW c AS (PARTITION BY series_id, n, chunk),
+                       r AS (PARTITION BY series_id, n, chunk ORDER BY rn
+                             ROWS UNBOUNDED PRECEDING)),
+            z AS (SELECT series_id, n, chunk, s1, s2,
+                         CAST(cum AS DOUBLE)
+                         - CAST(t * s1 AS DOUBLE) / n AS zt
+                  FROM winstats WHERE cnt = n),
+            chunks AS (
+                SELECT series_id, n, chunk,
+                       max(zt) - min(zt) AS r,
+                       (CAST(any_value(s2) AS DOUBLE)
+                        - CAST(any_value(s1) * any_value(s1) AS DOUBLE)
+                          / n) / n AS var
+                FROM z GROUP BY series_id, n, chunk),
+            rs AS (SELECT series_id, n, r / sqrt(var) AS rs
+                   FROM chunks WHERE var > 0)
+            SELECT series_id,
+                   CAST(n AS BIGINT) AS n,
+                   count(*) AS n_chunks,
+                   CAST(sum(CAST(floor(rs * 1000000.0) AS BIGINT))
+                        AS BIGINT) AS sum_rs_micro
+            FROM rs GROUP BY series_id, n
+        """,
+        "trigram_quality": """
+            WITH base AS (SELECT doc_id, text FROM documents
+                          UNION ALL SELECT 20000000, 'ab'),
+            d AS (SELECT doc_id,
+                         trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))
+                             AS t
+                  FROM base),
+            pos AS (SELECT doc_id, t,
+                           unnest(generate_series(
+                               1, greatest(length(t) - 2, 0))) AS i
+                    FROM d),
+            occ AS (SELECT doc_id,
+                           substr(t, CAST(i AS INT), 3) AS tri
+                    FROM pos),
+            prof AS (SELECT tri, count(*) AS df FROM occ GROUP BY tri),
+            sc AS (SELECT o.doc_id,
+                          count(*) AS n_tri,
+                          sum(CASE WHEN p.df <= 2 THEN 1 ELSE 0 END)
+                              AS n_rare,
+                          sum(p.df) AS df_mass
+                   FROM occ o JOIN prof p USING (tri)
+                   GROUP BY o.doc_id)
+            SELECT b.doc_id,
+                   CAST(coalesce(sc.n_tri, 0) AS BIGINT) AS n_tri,
+                   CAST(coalesce(sc.n_rare, 0) AS BIGINT) AS n_rare,
+                   CAST(coalesce(sc.df_mass, 0) AS BIGINT) AS df_mass
+            FROM base b LEFT JOIN sc ON b.doc_id = sc.doc_id
+        """,
+        "edit_distance_pairs": """
+            WITH planted AS (SELECT doc_id + 20000000 AS doc_id,
+                                    text || ' zq' AS text
+                             FROM (SELECT doc_id, text FROM documents
+                                   ORDER BY doc_id LIMIT 10)),
+            base AS (SELECT doc_id, text FROM documents
+                     UNION ALL SELECT doc_id, text FROM planted),
+            d AS (SELECT doc_id AS id,
+                         trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))
+                             AS t
+                  FROM base),
+            s AS (SELECT id, t, substr(t, 1, 24) AS blk,
+                         length(t) AS len
+                  FROM d WHERE length(t) >= 24)
+            SELECT a.id AS id_a, b.id AS id_b,
+                   CAST(levenshtein(a.t, b.t) AS BIGINT) AS dist,
+                   CAST(a.len AS BIGINT) AS len_a,
+                   CAST(b.len AS BIGINT) AS len_b
+            FROM s a JOIN s b
+              ON a.blk = b.blk AND a.id < b.id
+             AND abs(a.len - b.len) <= 16
+            WHERE levenshtein(a.t, b.t) <= 16
         """,
     }

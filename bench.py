@@ -265,6 +265,9 @@ def main():
         "hybrid_search_rrf",
         # dashboard rollup + session sequence mining + graph kernel
         "topn_others", "session_paths", "triangle_count",
+        # long-memory R/S ladder, trigram corpus-familiarity quality
+        # profile, and prefix-blocked exact edit-distance near-dups
+        "hurst_rs", "trigram_quality", "edit_distance_pairs",
     ]
     qs = entrymod.queries()
     for name in bench_queries:

@@ -88,6 +88,9 @@ DESIGNED_BNL = {
     # brute-force ANN's broadcast query-vector crossJoin (ann_topk's
     # designed shape) feeding the fusion
     "hybrid_search_rrf",
+    # 1-row broadcast n_edges join for the clustering-coefficient
+    # denominator (triangle_stats' wedge count is global by definition)
+    "triangle_count",
 }
 
 

@@ -526,3 +526,68 @@ def embedding_near_dup_pairs(
         .filter(F.col("cosine") >= threshold)
         .distinct()
     )
+
+
+def edit_distance_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_dist: int = 16,
+    block_prefix: int = 24,
+) -> DataFrame:
+    """Prefix-blocked exact edit-distance near-dup pairs:
+    ``(id_a, id_b, dist, len_a, len_b)`` with ``id_a < id_b`` and
+    ``levenshtein(normalized_a, normalized_b) <= max_dist``. The
+    edit-distance family complements the set-based detectors: Jaccard /
+    MinHash see bags of shingles (insensitive to local ORDER damage),
+    SimHash sees token frequencies; Levenshtein is the only one of the
+    four that scores character-level ORDERED corruption — OCR noise,
+    truncated tails, single-field template edits — which is exactly the
+    perturbation profile of scraped near-dups.
+
+    Candidate generation is PREFIX BLOCKING: only documents sharing
+    their first ``block_prefix`` normalized characters are compared (a
+    hash equi-join, never all-pairs). That is a deliberate recall
+    contract, not a shortcut: a pair differing inside the prefix has
+    edit distance >= 1 *located at the head*, the rarest corruption
+    site in practice (templates and OCR damage concentrate in bodies
+    and tails); pairs that differ early are caught by the unordered
+    detectors upstream. A length guard (|len_a - len_b| <= max_dist,
+    a lower bound on edit distance) prunes before the O(m*n) DP runs.
+
+    Scale shape (100 TB): one exchange on the block key; per-block
+    pair count is quadratic in BLOCK size only — prefix blocks over
+    normalized text are near-singleton except for true near-dup
+    families, and skewed blocks split under AQE. The DP itself is
+    Spark's built-in ``levenshtein`` (JVM codegen, no Python).
+
+    Cross-engine note: Spark's levenshtein counts CHARACTERS, DuckDB's
+    counts BYTES — identical on ASCII (the gate corpus is verified
+    ASCII-only); on non-ASCII corpora the oracle would need a
+    byte-level cast.
+    """
+    norm = normalized(F.col(text_col))
+    sides = docs.select(
+        F.col(id_col).alias("id"),
+        norm.alias("t"),
+        F.substring(norm, 1, block_prefix).alias("blk"),
+        F.length(norm).alias("len"),
+    ).where(F.length("t") >= block_prefix)
+    a = sides.select(
+        F.col("id").alias("id_a"), F.col("t").alias("t_a"),
+        F.col("len").alias("len_a"), "blk",
+    )
+    b = sides.select(
+        F.col("id").alias("id_b"), F.col("t").alias("t_b"),
+        F.col("len").alias("len_b"), "blk",
+    )
+    return (
+        a.join(b, "blk")
+        .where(
+            (F.col("id_a") < F.col("id_b"))
+            & (F.abs(F.col("len_a") - F.col("len_b")) <= max_dist)
+        )
+        .withColumn("dist", F.levenshtein("t_a", "t_b"))
+        .where(F.col("dist") <= max_dist)
+        .select("id_a", "id_b", "dist", "len_a", "len_b")
+    )
