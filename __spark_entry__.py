@@ -4146,6 +4146,82 @@ def _q_edit_distance_pairs(spark, sf_dir):
 # rows-only (non-SQL-expressible) queries
 # ---------------------------------------------------------------------------
 
+def _q_kmeans_clusters(spark, sf_dir):
+    """Distributed Lloyd's k-means over the embeddings corpus
+    (operators/kmeans.py) — semantic clustering for curation (domain
+    discovery, cluster-balanced sampling). Iterative float algorithm —
+    no SQL oracle; instead the run is made BIT-DETERMINISTIC (integer
+    micro-unit quantization => exact order-free BIGINT partial sums,
+    hash-seeded init, lowest-index argmin tie-break) and the gate
+    asserts, riding every output row:
+
+    ``refit_identical_ok``    a SECOND full fit reproduces every
+                              centroid coordinate bit-for-bit and the
+                              exact inertia ladder (the determinism
+                              contract under AQE/repartition);
+    ``inertia_monotone_ok``   the per-iteration inertia ladder never
+                              increases (Lloyd's descent property —
+                              a broken update or assignment cannot
+                              keep the books balanced);
+    ``final_step_ok``         relabeling against the FINAL centroids
+                              costs no more than the last fit
+                              iteration (one more Lloyd half-step can
+                              only descend; floor-rounding slack =
+                              corpus size);
+    ``sizes_ok``              cluster sizes sum to the corpus count.
+
+    Per iteration: one Arrow GEMM pass emitting k partial rows per
+    batch, one k*dim hash aggregate, one bounded k*dim collect. The
+    corpus never shuffles and never reaches the driver.
+    """
+    _prep(spark)
+    import numpy as np
+
+    from wavelet_decomposition_spark.operators.kmeans import (
+        kmeans_assign,
+        kmeans_fit,
+        quantized,
+    )
+
+    emb = quantized(
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+            "vec_id", "embedding"
+        )
+    ).cache()
+    fit1 = kmeans_fit(emb, k=8, max_iter=4, seed=42)
+    fit2 = kmeans_fit(emb, k=8, max_iter=4, seed=42)
+    refit_ok = bool(
+        np.array_equal(fit1["centroids"], fit2["centroids"])
+        and fit1["inertia_micro"] == fit2["inertia_micro"]
+    )
+    ladder = fit1["inertia_micro"]
+    monotone_ok = all(b <= a for a, b in zip(ladder, ladder[1:]))
+    per_cell = (
+        kmeans_assign(emb, fit1["centroids"])
+        .groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            F.sum("sqdist_micro").alias("inertia_contrib_micro"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy()
+    total_n = F.sum("n_points").over(w)
+    total_inertia = F.sum("inertia_contrib_micro").over(w)
+    return per_cell.select(
+        "cell",
+        "n_points",
+        "inertia_contrib_micro",
+        F.lit(refit_ok).alias("refit_identical_ok"),
+        F.lit(monotone_ok).alias("inertia_monotone_ok"),
+        (total_inertia <= F.lit(int(ladder[-1])) + total_n).alias(
+            "final_step_ok"
+        ),
+        (total_n == F.lit(int(fit1["n"]))).alias("sizes_ok"),
+    ).orderBy("cell")
+
+
 def _q_fft_spectrum(spark, sf_dir):
     """A7 — one-sided demeaned FFT magnitude spectrum per (series, year),
     self-verifying: ``parseval_ok`` = one-sided coefficient energy (window
@@ -5796,6 +5872,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hurst_rs": _q_hurst_rs,
         "trigram_quality": _q_trigram_quality,
         "edit_distance_pairs": _q_edit_distance_pairs,
+        # rows-only, bit-deterministic by construction (refit-identical
+        # invariant); locally gate-green, leads the next rotation too
+        "kmeans_clusters": _q_kmeans_clusters,
         # -- (3) rows-only (gate-asserted invariant columns; no SQL oracle,
         #        driver records the weaker rows-only check) ----------------
         "weighted_sample": _q_weighted_sample,

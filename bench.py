@@ -268,6 +268,9 @@ def main():
         # long-memory R/S ladder, trigram corpus-familiarity quality
         # profile, and prefix-blocked exact edit-distance near-dups
         "hurst_rs", "trigram_quality", "edit_distance_pairs",
+        # distributed bit-deterministic Lloyd's k-means (2 fits + label
+        # pass per repeat — the refit-identical invariant is the query)
+        "kmeans_clusters",
     ]
     qs = entrymod.queries()
     for name in bench_queries:
