@@ -4142,6 +4142,33 @@ def _q_edit_distance_pairs(spark, sf_dir):
     )
 
 
+def _q_winsorize_values(spark, sf_dir):
+    """Per-type winsorization of event values (operators/featureprep.py
+    winsorize) — robust feature scaling that clamps the integer-cent
+    values at the exact per-group order statistics of ranks
+    ceil(0.05*n) and ceil(0.95*n) over the (cents, event_id) total
+    order. Order statistics (not interpolated percentiles — engines
+    disagree on interpolation conventions) with pure-integer rank
+    arithmetic make the whole result hash-exact cross-engine. One
+    exchange for the rank window; bounds reduce to one row per group
+    and come back via a broadcast join, so the clamp is map-side.
+    """
+    _prep(spark)
+    from wavelet_decomposition_spark.operators.featureprep import (
+        winsorize,
+    )
+
+    ev = _events(spark, sf_dir).select(
+        "event_type",
+        "event_id",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    return winsorize(
+        ev, value_col="cents", group_col="event_type",
+        id_col="event_id", lo_pct=5, hi_pct=95,
+    ).orderBy("event_type", "event_id")
+
+
 # ---------------------------------------------------------------------------
 # rows-only (non-SQL-expressible) queries
 # ---------------------------------------------------------------------------
@@ -5872,6 +5899,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hurst_rs": _q_hurst_rs,
         "trigram_quality": _q_trigram_quality,
         "edit_distance_pairs": _q_edit_distance_pairs,
+        "winsorize_values": _q_winsorize_values,
         # rows-only, bit-deterministic by construction (refit-identical
         # invariant); locally gate-green, leads the next rotation too
         "kmeans_clusters": _q_kmeans_clusters,
@@ -8003,5 +8031,31 @@ def oracle_sql() -> dict[str, str]:
               ON a.blk = b.blk AND a.id < b.id
              AND abs(a.len - b.len) <= 16
             WHERE levenshtein(a.t, b.t) <= 16
+        """,
+        "winsorize_values": """
+            WITH e AS (SELECT event_type, event_id,
+                              CAST(round(value * 100) AS BIGINT) AS cents
+                       FROM events),
+            r AS (SELECT *,
+                         row_number() OVER (PARTITION BY event_type
+                                            ORDER BY cents, event_id) AS rn,
+                         count(*) OVER (PARTITION BY event_type) AS n
+                  FROM e),
+            b AS (SELECT event_type,
+                         min(CASE WHEN rn = CAST(floor(
+                                 (5 * n + 99) / 100.0) AS BIGINT)
+                             THEN cents END) AS lo_bound,
+                         min(CASE WHEN rn = CAST(floor(
+                                 (95 * n + 99) / 100.0) AS BIGINT)
+                             THEN cents END) AS hi_bound
+                  FROM r GROUP BY event_type)
+            SELECT e.event_type, e.event_id, e.cents,
+                   b.lo_bound, b.hi_bound,
+                   greatest(least(e.cents, b.hi_bound), b.lo_bound)
+                       AS cents_w,
+                   CAST(CASE WHEN e.cents < b.lo_bound THEN -1
+                             WHEN e.cents > b.hi_bound THEN 1
+                             ELSE 0 END AS INT) AS clamped
+            FROM e JOIN b USING (event_type)
         """,
     }

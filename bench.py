@@ -271,6 +271,8 @@ def main():
         # distributed bit-deterministic Lloyd's k-means (2 fits + label
         # pass per repeat — the refit-identical invariant is the query)
         "kmeans_clusters",
+        # robust feature scaling: rank-exact per-group winsorization
+        "winsorize_values",
     ]
     qs = entrymod.queries()
     for name in bench_queries:
