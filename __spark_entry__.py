@@ -4663,6 +4663,111 @@ def _q_ivf_ann_topk(spark, sf_dir):
     return _ann_with_recall_invariant(out, exact, recall_bound=0.6)
 
 
+def _q_pq_ann_topk(spark, sf_dir):
+    """Product-quantization ANN (operators/pq.py — Jégou et al. 2011):
+    the compressed-domain leg of the retrieval family. Each 64-dim
+    float32 vector becomes 16 codes (16:1 payload compression — at
+    10^12 vectors the difference between scanning 100 TB and 6 TB);
+    search is two-stage: ADC table-lookup shortlist (m gathers per
+    candidate, no dot products) then exact L2 re-rank of the 100-row
+    shortlist through one broadcast join. Rows-only; invariants riding
+    every row:
+
+    ``recall_ok``     recall@5 vs the exact L2 brute-force twin >= 0.7
+                      (measured 1.0 at sf0.01/sf0.1; the fixture's
+                      uniform-random embeddings are quantization's
+                      WORST case — no cluster structure to spend the
+                      codebook on, same caveat as lsh_ann_topk);
+    ``self_hit_ok``   every query (a corpus member) re-ranks ITSELF to
+                      rank 1 at exact distance 0;
+    ``decode_ok``     a decode-and-rescore pass (gather codewords,
+                      recompute ||x - recon||^2 from scratch) agrees
+                      with the encoder's carried quantization error to
+                      1 floor-micro ulp on EVERY corpus row — a
+                      code/codebook mixup or subspace offset bug
+                      cannot balance those books;
+    ``reencode_ok``   re-encoding under a different partitioning yields
+                      bit-identical codes (the determinism contract:
+                      hash-pinned training sample, lowest-index argmin).
+    """
+    _prep(spark)
+    from wavelet_decomposition_spark.operators.pq import (
+        l2_brute_topk,
+        pq_decode_errors,
+        pq_encode,
+        pq_topk,
+        train_pq_codebooks,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    books = train_pq_codebooks(emb, m=16, k=64, train_sample=2048, seed=42)
+    codes = pq_encode(emb, books).cache()
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    approx = pq_topk(codes, books, queries, k=5, shortlist=100, corpus=emb)
+    exact = l2_brute_topk(emb, queries, k=5)
+
+    decode_ok = pq_decode_errors(emb, codes, books).agg(
+        F.max(
+            F.abs(F.col("qerr_micro") - F.col("qerr_decode_micro"))
+        ).alias("_max_dev"),
+        F.count(F.lit(1)).alias("_n"),
+    )
+    n_rows = emb.count()
+    reencoded = pq_encode(emb.repartition(13), books)
+    n_same = (
+        codes.join(reencoded.withColumnRenamed("codes", "_c2"), "vec_id")
+        .filter(F.col("codes") == F.col("_c2"))
+        .count()
+    )
+
+    from pyspark.sql import Window
+
+    hits = exact.select("query_id", "vec_id", F.lit(1).alias("_hit"))
+    j = approx.join(hits, ["query_id", "vec_id"], "full_outer")
+    wg = Window.partitionBy()
+    wq = Window.partitionBy("query_id")
+    found = F.sum(
+        F.when(F.col("rank").isNotNull() & (F.col("_hit") == 1), 1)
+        .otherwise(0)
+    ).over(wg)
+    recall = found / F.sum(F.coalesce("_hit", F.lit(0))).over(wg)
+    self_hit = F.min(
+        F.when(
+            F.col("rank") == 1,
+            (
+                (F.col("vec_id") == F.col("query_id"))
+                & (F.col("adist") < 1e-9)
+            ).cast("int"),
+        )
+    ).over(wq)
+    return (
+        j.select(
+            "query_id",
+            "vec_id",
+            F.round("adist", 6).alias("adist"),
+            "rank",
+            (recall >= 0.7).alias("recall_ok"),
+            (self_hit == 1).alias("self_hit_ok"),
+        )
+        .filter(F.col("rank").isNotNull())
+        .crossJoin(F.broadcast(decode_ok))  # 1-row invariant frame
+        .select(
+            "query_id",
+            "vec_id",
+            "adist",
+            "rank",
+            "recall_ok",
+            "self_hit_ok",
+            (
+                (F.col("_max_dev") <= 1) & (F.col("_n") == F.lit(n_rows))
+            ).alias("decode_ok"),
+            F.lit(n_same == n_rows).alias("reencode_ok"),
+        )
+    )
+
+
 def _q_text_invariant(spark, sf_dir):
     """Per-turn text-equality invariant (BASELINE.json input_hint): raw
     snapshot vs derived lineage under stable (conv_id, turn_idx) ordering;
@@ -5928,6 +6033,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_near": _q_simhash_near,
         "lsh_ann_topk": _q_lsh_ann_topk,
         "ivf_ann_topk": _q_ivf_ann_topk,
+        "pq_ann_topk": _q_pq_ann_topk,
         "fft_spectrum": _q_fft_spectrum,
         "reconstruction_roundtrip": _q_reconstruction_roundtrip,
         "reconstruction_relational": _q_reconstruction_relational,

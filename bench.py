@@ -176,7 +176,8 @@ def main():
     bench_queries = [
         "activity_1m", "rollup_1h", "gapfill_locf", "epn_thresholds",
         "pricing_summary", "nation_revenue", "shipping_priority", "returned_customers", "dedup_groups", "ngram_jaccard",
-        "ngram_jaccard_bounded", "doc_stats", "ann_topk", "minhash_pairs",
+        "ngram_jaccard_bounded", "doc_stats", "ann_topk", "pq_ann_topk",
+        "minhash_pairs",
         "simhash_near", "gorilla_blocks", "translation_search", "sessionize",
         # round-4 additions: as-of join + interpolating gap-fill (timeseries),
         # cluster contraction over near-dup pairs (GEMM exact pair list +
