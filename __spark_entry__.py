@@ -4249,6 +4249,90 @@ def _q_kmeans_clusters(spark, sf_dir):
     ).orderBy("cell")
 
 
+def _q_pca_embeddings(spark, sf_dir):
+    """Distributed PCA over the embeddings corpus (operators/pca.py) —
+    one exact integer-statistics pass (packed-triangle Gram partials,
+    DECIMAL(38,0) cross-batch sums), a driver eigh of the 64x64
+    covariance, one Arrow projection pass. Iterative-free but float-
+    spectral — no SQL oracle; the gate asserts, riding every row:
+
+    ``refit_identical_ok``  a second fit under a DIFFERENT partitioning
+                            reproduces every eigenvalue, component
+                            coordinate, and mean bit-for-bit (the exact
+                            integer-statistics contract);
+    ``orthonormal_ok``      max |C C^T - I| < 1e-9;
+    ``desc_ok``             eigenvalues non-increasing;
+    ``resid_tail_ok``       the DISTRIBUTED mean squared projection
+                            residual equals the sum of the trailing
+                            48 eigenvalues to 1e-9 relative — the
+                            identity that ties the Arrow projection
+                            kernel to the driver eigensolve (a wrong
+                            mean, transposed components, or a scaling
+                            slip cannot balance it).
+
+    Output: the top 16 components' spectrum (eigenvalue + explained
+    variance ratio per component).
+    """
+    _prep(spark)
+    import numpy as np
+
+    from wavelet_decomposition_spark.operators.kmeans import quantized
+    from wavelet_decomposition_spark.operators.pca import (
+        pca_fit,
+        pca_project,
+    )
+
+    emb = quantized(
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+            "vec_id", "embedding"
+        )
+    ).cache()
+    fit = pca_fit(emb, n_components=16)
+    refit = pca_fit(emb.repartition(13), n_components=16)
+    refit_ok = bool(
+        np.array_equal(fit["eigenvalues"], refit["eigenvalues"])
+        and np.array_equal(fit["components"], refit["components"])
+        and np.array_equal(fit["mean"], refit["mean"])
+    )
+    C = fit["components"]
+    ortho_ok = bool(np.abs(C @ C.T - np.eye(len(C))).max() < 1e-9)
+    ev = fit["eigenvalues"]
+    desc_ok = bool(np.all(np.diff(ev) <= 1e-18))
+    # project the SAME (quantized, descaled) data the fit saw so the
+    # residual identity is float-exact, not quantization-smeared
+    descaled = emb.withColumn(
+        "embedding", F.transform("embedding", lambda v: v / F.lit(1e6))
+    )
+    tail = float(ev[len(C):].sum())
+    resid_check = pca_project(descaled, fit["mean"], C).agg(
+        (
+            F.abs(F.avg("resid_sq") - F.lit(tail))
+            <= 1e-9 * F.lit(max(tail, 1e-30))
+        ).alias("_resid_ok")
+    )
+    total_var = float(ev.sum())
+    spec = spark.createDataFrame(
+        [
+            (
+                i,
+                round(float(ev[i]), 9),
+                round(float(ev[i] / total_var), 9),
+            )
+            for i in range(len(C))
+        ],
+        "component int, eigenvalue double, explained_ratio double",
+    )
+    return spec.crossJoin(F.broadcast(resid_check)).select(
+        "component",
+        "eigenvalue",
+        "explained_ratio",
+        F.lit(refit_ok).alias("refit_identical_ok"),
+        F.lit(ortho_ok).alias("orthonormal_ok"),
+        F.lit(desc_ok).alias("desc_ok"),
+        F.col("_resid_ok").alias("resid_tail_ok"),
+    ).orderBy("component")
+
+
 def _q_fft_spectrum(spark, sf_dir):
     """A7 — one-sided demeaned FFT magnitude spectrum per (series, year),
     self-verifying: ``parseval_ok`` = one-sided coefficient energy (window
@@ -6034,6 +6118,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_ann_topk": _q_lsh_ann_topk,
         "ivf_ann_topk": _q_ivf_ann_topk,
         "pq_ann_topk": _q_pq_ann_topk,
+        "pca_embeddings": _q_pca_embeddings,
         "fft_spectrum": _q_fft_spectrum,
         "reconstruction_roundtrip": _q_reconstruction_roundtrip,
         "reconstruction_relational": _q_reconstruction_relational,

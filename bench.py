@@ -272,6 +272,8 @@ def main():
         # distributed bit-deterministic Lloyd's k-means (2 fits + label
         # pass per repeat — the refit-identical invariant is the query)
         "kmeans_clusters",
+        # exact-integer-Gram PCA (2 fits + projection pass per repeat)
+        "pca_embeddings",
         # robust feature scaling: rank-exact per-group winsorization
         "winsorize_values",
     ]
