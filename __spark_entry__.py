@@ -4249,6 +4249,93 @@ def _q_kmeans_clusters(spark, sf_dir):
     ).orderBy("cell")
 
 
+def _q_event_prefix_groups(spark, sf_dir):
+    """Shared-prefix detection over per-user event-type sequences
+    (operators/prefixes.py): md5 prefix fingerprints at depths 1/2/4/8
+    under the stable event_id order, grouped to find users whose
+    journeys START identically — the sequence-dedup primitive behind
+    retried-run / branched-conversation detection, exercised here on
+    the events table so the ENTIRE path (window head-trim, ordered
+    fingerprint, group formation, the md5 bytes themselves) is
+    DuckDB-oracle-checked. One exchange for the fingerprints (the
+    row-number window and the per-user aggregate share the user_id
+    partitioning; the ``rn <= 8`` head filter bounds every group's
+    aggregation state at 8 rows no matter the sequence length) plus
+    one hash aggregate on (depth, prefix_hash)."""
+    _prep(spark)
+    from wavelet_decomposition_spark.operators.prefixes import (
+        prefix_fingerprints,
+        shared_prefix_groups,
+    )
+
+    fp = prefix_fingerprints(
+        _events(spark, sf_dir), "user_id", "event_id", "event_type",
+        depths=(1, 2, 4, 8),
+    )
+    return shared_prefix_groups(fp, "user_id").withColumnRenamed(
+        "n_members", "n_users"
+    )
+
+
+def _q_conversation_forks(spark, sf_dir):
+    """Planted-fork recovery over transcripts: ``forked_transcripts``
+    plants 30 forks among 120 conversations — each fork's first
+    ``fork_depth`` = min(2 + hash%5, own len, parent len) turns are
+    byte-identical to its parent's (the retried-run / branched-agent /
+    shared-system-preamble duplication shape) — and the prefix
+    fingerprint pass must hand back EXACTLY the planted families.
+    Rows-only; invariant riding every row:
+
+    ``families_exact_ok``  the full set of (depth, member-set) groups
+                           equals the closed-form fork plan
+                           (``fork_metadata`` — pure integer-hash
+                           arithmetic, no data access) at every depth
+                           in {1,2,3,4,6}: one extra, missing, or
+                           merged family anywhere flips it. Since a
+                           fork group exists ONLY through byte-equal
+                           prefix texts, this simultaneously proves
+                           the generator planted the texts and the
+                           fingerprint recovered them.
+
+    The group collect is bounded by the planted-fork count (group
+    membership lists are fork families, not the corpus)."""
+    _prep(spark)
+    from wavelet_decomposition_spark.io.transcripts import (
+        fork_metadata,
+        forked_transcripts,
+    )
+    from wavelet_decomposition_spark.operators.prefixes import (
+        prefix_fingerprints,
+        shared_prefix_groups,
+    )
+
+    n, nf = 120, 30
+    depths = (1, 2, 3, 4, 6)
+    tx = forked_transcripts(spark, n, nf, seed=42)
+    fp = prefix_fingerprints(tx, "conv_id", "turn_idx", "text", depths)
+    groups = shared_prefix_groups(fp, "conv_id", with_members=True).cache()
+    got = {
+        (r["depth"], frozenset(r["members"])) for r in groups.collect()
+    }
+    meta = fork_metadata(n, nf, seed=42)
+    want = set()
+    for d in depths:
+        for p, g in meta[meta.fork_depth >= d].groupby("parent_id"):
+            want.add((
+                d,
+                frozenset(
+                    [f"conv-{p:08d}"]
+                    + [f"conv-{f:08d}" for f in g.fork_id]
+                ),
+            ))
+    return groups.select(
+        "depth",
+        "prefix_hash",
+        "n_members",
+        F.lit(got == want).alias("families_exact_ok"),
+    ).orderBy("depth", "prefix_hash")
+
+
 def _q_pca_embeddings(spark, sf_dir):
     """Distributed PCA over the embeddings corpus (operators/pca.py) —
     one exact integer-statistics pass (packed-triangle Gram partials,
@@ -6119,6 +6206,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_ann_topk": _q_ivf_ann_topk,
         "pq_ann_topk": _q_pq_ann_topk,
         "pca_embeddings": _q_pca_embeddings,
+        "event_prefix_groups": _q_event_prefix_groups,
+        "conversation_forks": _q_conversation_forks,
         "fft_spectrum": _q_fft_spectrum,
         "reconstruction_roundtrip": _q_reconstruction_roundtrip,
         "reconstruction_relational": _q_reconstruction_relational,
@@ -6202,6 +6291,26 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS turns,
                    round(sum(value), 6) AS total_value
             FROM events GROUP BY 1, 2
+        """,
+        "event_prefix_groups": """
+            WITH r AS (
+                SELECT user_id, event_type,
+                       row_number() OVER (
+                           PARTITION BY user_id ORDER BY event_id
+                       ) AS rn
+                FROM events
+            ), p AS (
+                SELECT d.depth, r.user_id,
+                       md5(string_agg(r.event_type, chr(31)
+                                      ORDER BY r.rn)) AS prefix_hash
+                FROM r JOIN (VALUES (1), (2), (4), (8)) AS d(depth)
+                  ON r.rn <= d.depth
+                GROUP BY d.depth, r.user_id
+                HAVING count(*) = d.depth
+            )
+            SELECT depth, prefix_hash, count(*) AS n_users
+            FROM p GROUP BY depth, prefix_hash
+            HAVING count(*) >= 2
         """,
         "rollup_1h": """
             SELECT event_type,

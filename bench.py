@@ -274,6 +274,9 @@ def main():
         "kmeans_clusters",
         # exact-integer-Gram PCA (2 fits + projection pass per repeat)
         "pca_embeddings",
+        # shared-prefix dedup: oracle-checked event sequences + planted
+        # transcript forks recovered exactly
+        "event_prefix_groups", "conversation_forks",
         # robust feature scaling: rank-exact per-group winsorization
         "winsorize_values",
     ]

@@ -71,6 +71,21 @@ def conv_lengths(conv: np.ndarray, seed: int, mean_turns: int, max_turns: int) -
     return np.clip(length, 2, max_turns).astype(np.int64)
 
 
+def _turn_texts(cid: np.ndarray, tidx: np.ndarray, seed: int) -> np.ndarray:
+    """Content-addressable turn text: a 16-char hash token of (conv, turn)
+    repeated 1..120 times (lengths quantized to 17-char steps; heavy-tailed
+    via u^3). Built as pandas object strings — np.char.multiply would
+    allocate a fixed-width U(17*max_reps) array for EVERY row (gigabytes
+    per task at high fan-out). Pure function of (cid, tidx, seed) — the
+    property the fork planter and the text-equality invariant both key on.
+    """
+    h = _hash2(cid, tidx, seed)
+    u_len = _unit(_splitmix(h + np.uint64(1)))
+    reps = (1 + 120.0 * u_len * u_len * u_len).astype(np.int64)
+    token = pd.Series(h).map("{:016x}".format)  # 16-char deterministic token
+    return (token + " ").str.repeat(reps).str.rstrip().to_numpy(dtype=object)
+
+
 def _gen_batch(conv: np.ndarray, seed: int, mean_turns: int, max_turns: int,
                span_seconds: int) -> pd.DataFrame:
     lens = conv_lengths(conv, seed, mean_turns, max_turns)
@@ -83,7 +98,6 @@ def _gen_batch(conv: np.ndarray, seed: int, mean_turns: int, max_turns: int,
     h = _hash2(cid, tidx, seed)
     u_gap = _unit(h)
     u_role = _unit(_splitmix(h))
-    u_len = _unit(_splitmix(h + np.uint64(1)))
 
     # bursty inter-turn gaps (micros): 70% 0.5-5 s, 25% 5-60 s, 5% 1-60 min
     gap = np.where(
@@ -113,13 +127,7 @@ def _gen_batch(conv: np.ndarray, seed: int, mean_turns: int, max_turns: int,
         is_tool, _TOOLS[(h % np.uint64(_TOOLS.size)).astype(np.int64)], None
     )
 
-    # content-addressable text: a 16-char hash token repeated 1..120 times
-    # (lengths quantized to 17-char steps; heavy-tailed via u^3). Built as
-    # pandas object strings — np.char.multiply would allocate a fixed-width
-    # U(17*max_reps) array for EVERY row (gigabytes per task at high fan-out)
-    reps = (1 + 120.0 * u_len * u_len * u_len).astype(np.int64)
-    token = pd.Series(h).map("{:016x}".format)  # 16-char deterministic token
-    text = (token + " ").str.repeat(reps).str.rstrip().to_numpy(dtype=object)
+    text = _turn_texts(cid, tidx, seed)
 
     return pd.DataFrame(
         {
@@ -164,6 +172,107 @@ def transcripts_df(
 
     return (
         spark.range(0, n_convs, numPartitions=partitions)
+        .mapInPandas(gen, schema=TRANSCRIPT_SCHEMA)
+    )
+
+
+def fork_metadata(
+    n_convs: int,
+    n_forks: int,
+    seed: int = 42,
+    mean_turns: int = 40,
+    max_turns: int = 20_000,
+) -> pd.DataFrame:
+    """Closed-form fork plan for :func:`forked_transcripts` — one row per
+    fork: ``(fork_id, parent_id, fork_depth)``. Pure integer-hash
+    arithmetic (no data access), so the invariant side of the driver
+    query can recompute EXACTLY what the distributed generator planted."""
+    j = np.arange(n_forks, dtype=np.int64)
+    fid = n_convs + j
+    parent = (
+        _hash2(j, np.full(j.size, 0xF0F0, dtype=np.uint64), seed)
+        % np.uint64(n_convs)
+    ).astype(np.int64)
+    k_raw = 2 + (
+        _hash2(j, np.full(j.size, 0xF1F1, dtype=np.uint64), seed)
+        % np.uint64(5)
+    ).astype(np.int64)
+    own_len = conv_lengths(fid, seed, mean_turns, max_turns)
+    parent_len = conv_lengths(parent, seed, mean_turns, max_turns)
+    return pd.DataFrame(
+        {
+            "fork_id": fid,
+            "parent_id": parent,
+            "fork_depth": np.minimum(np.minimum(k_raw, own_len), parent_len),
+        }
+    )
+
+
+def _apply_forks(pdf: pd.DataFrame, n_convs: int, n_forks: int,
+                 seed: int, mean_turns: int, max_turns: int) -> pd.DataFrame:
+    """Overwrite the first ``fork_depth`` turn texts of every fork row
+    with the PARENT conversation's texts for those turns — a pure
+    per-row recomputation via the content-addressable ``_turn_texts``
+    (no join, no cross-conversation communication: the fork planter is
+    as embarrassingly parallel as the base generator)."""
+    ids = pdf["conv_id"].str[5:].astype(np.int64).to_numpy()
+    m = ids >= n_convs
+    if not m.any():
+        return pdf
+    meta = fork_metadata(n_convs, n_forks, seed, mean_turns, max_turns)
+    parent_of = meta["parent_id"].to_numpy()
+    depth_of = meta["fork_depth"].to_numpy()
+    j = ids[m] - n_convs
+    tidx = pdf["turn_idx"].to_numpy()[m].astype(np.int64)
+    in_prefix = tidx < depth_of[j]
+    rows = np.flatnonzero(m)[in_prefix]
+    if rows.size:
+        pdf = pdf.copy()
+        pdf.loc[
+            pdf.index[rows], "text"
+        ] = _turn_texts(parent_of[j[in_prefix]], tidx[in_prefix], seed)
+    return pdf
+
+
+def forked_transcripts(
+    spark: SparkSession,
+    n_convs: int,
+    n_forks: int,
+    seed: int = 42,
+    mean_turns: int = 40,
+    max_turns: int = 20_000,
+    span_seconds: int = 7 * 86400,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Transcript table with PLANTED FORKS: ``n_convs`` base conversations
+    plus ``n_forks`` extra conversations whose first ``fork_depth`` turns
+    are byte-identical to a hash-chosen parent's before diverging — the
+    retried-run / branched-conversation / shared-system-preamble shape
+    that prefix dedup (operators/prefixes.py) exists to find.
+    ``fork_depth`` = min(2 + hash%5, own length, parent length), so a
+    fork NEVER copies past its parent (two forks of one parent sharing
+    depth d therefore implies the parent itself reaches depth d).
+    Deterministic and per-conversation independent (forks recompute the
+    parent's content-addressable texts; no join) — the scale properties
+    of ``transcripts_df`` carry over unchanged."""
+    if partitions is None:
+        partitions = max(8, spark.sparkContext.defaultParallelism)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        chunk = 4096
+        for pdf in batches:
+            conv = pdf["id"].to_numpy(dtype=np.int64)
+            for lo in range(0, conv.size, chunk):
+                out = _gen_batch(
+                    conv[lo:lo + chunk], seed, mean_turns, max_turns,
+                    span_seconds,
+                )
+                yield _apply_forks(
+                    out, n_convs, n_forks, seed, mean_turns, max_turns
+                )
+
+    return (
+        spark.range(0, n_convs + n_forks, numPartitions=partitions)
         .mapInPandas(gen, schema=TRANSCRIPT_SCHEMA)
     )
 
