@@ -4249,6 +4249,70 @@ def _q_kmeans_clusters(spark, sf_dir):
     ).orderBy("cell")
 
 
+def _q_pelt_changepoints(spark, sf_dir):
+    """PELT exact multi-changepoint segmentation per hourly series
+    (operators/changepoint.py — Killick et al. 2012), completing the
+    single-shift CUSUM: minimizes segment-cost + beta * k EXACTLY.
+    Rows-only (penalized segmentation is not SQL-expressible);
+    invariants riding every row:
+
+    ``dp_equal_ok``       per group, PELT's pruned answer equals the
+                          UNPRUNED O(n^2) dynamic program run side by
+                          side in the same kernel — the PELT theorem
+                          as an executable check;
+    ``planted_exact_ok``  a noiseless 4-level step series (levels
+                          0/1000/-500/300 at 60/50/70/60 points)
+                          unioned into the input must segment at
+                          EXACTLY [60, 110, 180] — recovered
+                          boundaries, not just counts.
+
+    beta = 1e4 sized to the hourly series' noise floor (var ~1e3 per
+    point: beta 10 chased noise into ~600 segments per series; 1e4
+    yields 2-11 real shifts). Groups are bounded (hourly retention
+    tier); the only exchange is the groupBy itself."""
+    _prep(spark)
+    from wavelet_decomposition_spark.operators.changepoint import (
+        pelt_changepoints,
+    )
+
+    i = F.col("id")
+    lens = [60, 50, 70, 60]
+    levels = [0.0, 1000.0, -500.0, 300.0]
+    bounds = [60, 110, 180]
+    level = (
+        F.when(i < lens[0], levels[0])
+        .when(i < lens[0] + lens[1], levels[1])
+        .when(i < lens[0] + lens[1] + lens[2], levels[2])
+        .otherwise(levels[3])
+    )
+    planted = spark.range(sum(lens)).select(
+        F.lit("planted").alias("series_id"),
+        F.timestamp_seconds(F.lit(1767225600) + i * 3600).alias(
+            "bucket_ts"
+        ),
+        level.alias("v"),
+    )
+    base = _hourly_series(spark, sf_dir).unionByName(planted)
+    segs = pelt_changepoints(
+        base, ["series_id"], "bucket_ts", "v", beta=1e4, verify=True
+    ).cache()
+    got = sorted(
+        r["start_pos"]
+        for r in segs.filter(F.col("series_id") == "planted").collect()
+    )
+    planted_ok = got == [0] + bounds
+    return segs.select(
+        "series_id",
+        "seg_idx",
+        "start_pos",
+        "end_pos",
+        "n_points",
+        F.round("seg_mean", 6).alias("seg_mean"),
+        "dp_equal_ok",
+        F.lit(planted_ok).alias("planted_exact_ok"),
+    ).orderBy("series_id", "seg_idx")
+
+
 def _q_event_prefix_groups(spark, sf_dir):
     """Shared-prefix detection over per-user event-type sequences
     (operators/prefixes.py): md5 prefix fingerprints at depths 1/2/4/8
@@ -6208,6 +6272,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pca_embeddings": _q_pca_embeddings,
         "event_prefix_groups": _q_event_prefix_groups,
         "conversation_forks": _q_conversation_forks,
+        "pelt_changepoints": _q_pelt_changepoints,
         "fft_spectrum": _q_fft_spectrum,
         "reconstruction_roundtrip": _q_reconstruction_roundtrip,
         "reconstruction_relational": _q_reconstruction_relational,

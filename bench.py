@@ -277,6 +277,8 @@ def main():
         # shared-prefix dedup: oracle-checked event sequences + planted
         # transcript forks recovered exactly
         "event_prefix_groups", "conversation_forks",
+        # exact penalized segmentation with in-kernel unpruned-DP twin
+        "pelt_changepoints",
         # robust feature scaling: rank-exact per-group winsorization
         "winsorize_values",
     ]
