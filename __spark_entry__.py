@@ -4249,6 +4249,76 @@ def _q_kmeans_clusters(spark, sf_dir):
     ).orderBy("cell")
 
 
+def _q_bpe_vocab(spark, sf_dir):
+    """Distributed BPE tokenizer training over the documents corpus
+    (operators/bpe.py — Sennrich et al. 2016): ONE corpus scan builds
+    the Zipf-bounded word-frequency table; each merge round is one
+    Arrow pass + hash aggregate over that compact table and one
+    collected argmax row under the engine-independent total order
+    (count desc, pair lexicographic). Rows-only; invariants riding
+    every row:
+
+    ``dual_path_ok``     the distributed trainer's full merge list
+                         (pairs AND counts, in rank order) equals a
+                         pure-Python BPE run on the collected word-
+                         count dict — collected ONLY for this gate
+                         check (the table is corpus-vocabulary-sized;
+                         at 10^7+ words production trusts the exact
+                         bookkeeping instead);
+    ``bookkeeping_ok``   per round, applying merge (a,b) with pair
+                         count f shrank the total weighted symbol
+                         count by EXACTLY f (leftmost-greedy counts =
+                         replacements performed — a miscounted pair
+                         table cannot balance these books);
+    ``encode_ok``        re-tokenizing the corpus with the learned
+                         merges never exceeds the character count and
+                         strictly compresses the corpus total.
+
+    Output: the learned merge table (rank, pair, merged symbol, count).
+    """
+    _prep(spark)
+    from wavelet_decomposition_spark.operators.bpe import (
+        bpe_encode,
+        bpe_train,
+        bpe_train_reference,
+        word_counts,
+    )
+
+    docs = _docs(spark, sf_dir)
+    fit = bpe_train(docs, n_merges=24, min_freq=2, verify=True)
+    wc = {
+        r["word"]: r["count"] for r in word_counts(docs).collect()
+    }
+    ref = bpe_train_reference(wc, 24, 2)
+    dual_ok = fit["merges"] == ref
+    enc = bpe_encode(docs, fit["merges"]).agg(
+        F.sum(
+            (F.col("n_tokens") > F.col("n_chars")).cast("long")
+        ).alias("_n_over"),
+        F.sum("n_tokens").alias("_tok"),
+        F.sum("n_chars").alias("_chr"),
+    ).first()
+    encode_ok = enc["_n_over"] == 0 and enc["_tok"] < enc["_chr"]
+    rows = [
+        (i + 1, a, b, a + b, f)
+        for i, (a, b, f) in enumerate(fit["merges"])
+    ]
+    return spark.createDataFrame(
+        rows,
+        "rank int, left string, right string, merged string, "
+        "pair_count long",
+    ).select(
+        "rank",
+        "left",
+        "right",
+        "merged",
+        "pair_count",
+        F.lit(bool(dual_ok)).alias("dual_path_ok"),
+        F.lit(bool(fit["bookkeeping_ok"])).alias("bookkeeping_ok"),
+        F.lit(bool(encode_ok)).alias("encode_ok"),
+    ).orderBy("rank")
+
+
 def _q_pelt_changepoints(spark, sf_dir):
     """PELT exact multi-changepoint segmentation per hourly series
     (operators/changepoint.py — Killick et al. 2012), completing the
@@ -6158,34 +6228,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     ORDERING IS A ROTATION, not taxonomy. The driver verifies only the
     FIRST 50 entries each round, so the dict is ordered by driver-
-    visibility debt: (1) queries new this round, (2) oracle queries that
-    had no driver row in CORRECTNESS_r04 (positions 51-63 last round),
-    (3) all rows-only invariant-gated queries (never driver-checked
-    through r04), (4) oracle queries already driver-green in r04 (their
-    green rows are on record; they rotate back in next round). Every
-    query keeps its local gate (tools/check_correctness.py) regardless
-    of window position.
+    visibility debt: (1) every ORACLE query with no driver row in ANY
+    CORRECTNESS_r01-r04 (40 of them — hash-exact external signal takes
+    priority for the scarce slots), (2) the flagship golden-parity
+    rows-only queries (the complete E1/E3 jobs), (3) seven high-value
+    rows-only entries — the north-star tier parity, the heaviest
+    kernels, and this session's new operators, so their first driver
+    row proves they run under driver conditions; then, outside the
+    window: (4) the remaining rows-only entries and (5) oracle queries
+    already driver-green in r01-r04 (their green rows are on record;
+    they rotate back in subsequent rounds). Every query keeps its local
+    gate (tools/check_correctness.py) regardless of window position.
     """
     return {
-        # -- (1) new this round: never driver-checked ---------------------
+        # -- (1) oracle queries with no driver row through r04 (40) --------
         "ohlc_bars": _q_ohlc_bars,
         "state_durations": _q_state_durations,
-        "holt_winters": _q_holt_winters,
-        "stream_ohlc_drain": _q_stream_ohlc_drain,
-        "tier_wavelet_parity": _q_tier_wavelet_parity,
-        "matrix_profile": _q_matrix_profile,
         "sax_words": _q_sax_words,
         "inverted_index": _q_inverted_index,
-        "pagerank": _q_pagerank,
         "referential_integrity": _q_referential_integrity,
-        "bm25_topk": _q_bm25_topk,
         "zorder_values": _q_zorder_values,
-        "zorder_layout": _q_zorder_layout,
         "boolean_retrieval": _q_boolean_retrieval,
         "merge_upsert": _q_merge_upsert,
         "json_extract_stats": _q_json_extract_stats,
         "feature_binning": _q_feature_binning,
-        "forecast_backtest": _q_forecast_backtest,
         "sax_anomaly": _q_sax_anomaly,
         "hybrid_search_rrf": _q_hybrid_search_rrf,
         "topn_others": _q_topn_others,
@@ -6198,22 +6264,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hopping_window": _q_hopping_window,
         "rank_functions": _q_rank_functions,
         "sliding_distinct": _q_sliding_distinct,
-        # late round-5 additions (retention engine, SCD2, profiling) —
-        # the 50-slot window can't hold every unchecked query, so the
-        # ORACLE entries (hash-exact external signal) and the flagship
-        # golden-parity queries take the remaining slots; the eleven
-        # displaced rows-only entries (weighted_sample,
-        # cms_heavy_hitters, lang_id,
-        # pack_sequences, sketch_tier_merge, dtw_pairs, dwt_denoise,
-        # sliding_distinct_sketch, response_latency, compact_tier,
-        # tier_refresh_resume, tier_retention_expiry — all locally
-        # gate-green, pytest-invariant-covered) lead the next rotation
-        # just below
         "tier_routed_read": _q_tier_routed_read,
         "scd2_build": _q_scd2_build,
         "table_profile": _q_table_profile,
         "scd2_asof_probe": _q_scd2_asof_probe,
-        # -- (2) oracle queries with no CORRECTNESS_r04 row ----------------
         "weekly_profile": _q_weekly_profile,
         "top_users_per_hour": _q_top_users_per_hour,
         "data_expectations": _q_data_expectations,
@@ -6223,28 +6277,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hourly_pivot": _q_hourly_pivot,
         "event_transitions": _q_event_transitions,
         "series_corr_matrix": _q_series_corr_matrix,
-        "sessionize": _q_sessionize,
-        "quality_score": _q_quality_score,
-        "resample_linear": _q_resample_linear,
-        "conversation_stats_skew": _q_conversation_stats_skew,
-        # flagship golden-parity rows-only queries: positions 48-50 so
-        # the complete E1 and E3 jobs get their first driver rows
-        "full_decomposition": _q_full_decomposition,
-        "translation_full": _q_translation_full,
-        "wavelet_betas_golden": _q_wavelet_betas_golden,
-        # -- (2b) oracle queries added AFTER the 50-slot window filled:
-        #        locally gate-verified this round (hash-exact vs DuckDB);
-        #        they lead the next rotation together with the deferred
-        #        rows-only entries below ---------------------------------
         "hurst_rs": _q_hurst_rs,
         "trigram_quality": _q_trigram_quality,
         "edit_distance_pairs": _q_edit_distance_pairs,
         "winsorize_values": _q_winsorize_values,
-        # rows-only, bit-deterministic by construction (refit-identical
-        # invariant); locally gate-green, leads the next rotation too
+        "event_prefix_groups": _q_event_prefix_groups,
+        # -- (2) flagship golden-parity rows-only: the complete E1 and E3
+        #        jobs keep their driver rows every round -------------------
+        "full_decomposition": _q_full_decomposition,
+        "translation_full": _q_translation_full,
+        "wavelet_betas_golden": _q_wavelet_betas_golden,
+        # -- (3) seven rows-only window picks: north-star tier parity, the
+        #        heaviest kernels, and this session's new operators --------
+        "tier_wavelet_parity": _q_tier_wavelet_parity,
+        "matrix_profile": _q_matrix_profile,
+        "pagerank": _q_pagerank,
+        "bm25_topk": _q_bm25_topk,
+        "pq_ann_topk": _q_pq_ann_topk,
+        "conversation_forks": _q_conversation_forks,
+        "bpe_vocab": _q_bpe_vocab,
+        # ---- window boundary: driver checks the 50 entries above ---------
+        "pelt_changepoints": _q_pelt_changepoints,
+        # -- (4) rows-only (gate-asserted invariant columns; no SQL oracle,
+        #        driver records the weaker rows-only check). The displaced
+        #        window entries (holt_winters, stream_ohlc_drain,
+        #        zorder_layout, forecast_backtest — all locally gate-green,
+        #        pytest-invariant-covered) plus the newest rows-only
+        #        (pca_embeddings, kmeans_clusters) lead the next rotation --
+        "pca_embeddings": _q_pca_embeddings,
         "kmeans_clusters": _q_kmeans_clusters,
-        # -- (3) rows-only (gate-asserted invariant columns; no SQL oracle,
-        #        driver records the weaker rows-only check) ----------------
+        "holt_winters": _q_holt_winters,
+        "stream_ohlc_drain": _q_stream_ohlc_drain,
+        "zorder_layout": _q_zorder_layout,
+        "forecast_backtest": _q_forecast_backtest,
         "weighted_sample": _q_weighted_sample,
         "cms_heavy_hitters": _q_cms_heavy_hitters,
         "lang_id": _q_lang_id,
@@ -6268,11 +6333,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_near": _q_simhash_near,
         "lsh_ann_topk": _q_lsh_ann_topk,
         "ivf_ann_topk": _q_ivf_ann_topk,
-        "pq_ann_topk": _q_pq_ann_topk,
-        "pca_embeddings": _q_pca_embeddings,
-        "event_prefix_groups": _q_event_prefix_groups,
-        "conversation_forks": _q_conversation_forks,
-        "pelt_changepoints": _q_pelt_changepoints,
         "fft_spectrum": _q_fft_spectrum,
         "reconstruction_roundtrip": _q_reconstruction_roundtrip,
         "reconstruction_relational": _q_reconstruction_relational,
@@ -6293,7 +6353,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_counter_rate_drain": _q_stream_counter_rate_drain,
         "stream_dedup_drain": _q_stream_dedup_drain,
         "stream_distinct_drain": _q_stream_distinct_drain,
-        # -- (4) oracle queries driver-green in CORRECTNESS_r04 ------------
+        # -- (5) oracle queries driver-green in CORRECTNESS_r01-r04 --------
+        "sessionize": _q_sessionize,
+        "quality_score": _q_quality_score,
+        "resample_linear": _q_resample_linear,
+        "conversation_stats_skew": _q_conversation_stats_skew,
         "activity_1m": _q_activity_1m,
         "rollup_1h": _q_rollup_1h,
         "normalize_by_group": _q_normalize_by_group,

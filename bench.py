@@ -279,6 +279,9 @@ def main():
         "event_prefix_groups", "conversation_forks",
         # exact penalized segmentation with in-kernel unpruned-DP twin
         "pelt_changepoints",
+        # distributed BPE training (24 merge rounds on the word table,
+        # dual-path + telescoped bookkeeping + encode pass per repeat)
+        "bpe_vocab",
         # robust feature scaling: rank-exact per-group winsorization
         "winsorize_values",
     ]

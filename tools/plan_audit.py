@@ -91,6 +91,12 @@ DESIGNED_BNL = {
     # 1-row broadcast n_edges join for the clustering-coefficient
     # denominator (triangle_stats' wedge count is global by definition)
     "triangle_count",
+    # exact-L2 twin's broadcast query crossJoin (the ann_topk shape)
+    # + 1-row broadcast decode-dual-path invariant join
+    "pq_ann_topk",
+    # 1-row broadcast residual-vs-trailing-eigenvalue invariant join
+    # onto the 16-row spectrum frame
+    "pca_embeddings",
 }
 
 
