@@ -4249,6 +4249,86 @@ def _q_kmeans_clusters(spark, sf_dir):
     ).orderBy("cell")
 
 
+def _q_dsir_weights(spark, sf_dir):
+    """DSIR-style importance weights (Xie et al., "Data Selection for
+    Language Models via Importance Resampling", NeurIPS 2023 — public
+    method): score every document by how much its unigram distribution
+    looks like a TARGET domain (sources src0-src3) versus the raw
+    corpus — the weights that importance-resample a web crawl toward a
+    high-quality domain. weight(doc) = sum over tokens of
+    ln(p_target(w) / p_raw(w)), add-1 smoothed over the joint vocab.
+
+    ORACLE-CHECKED end-to-end by the integer-sufficient-statistics
+    discipline (the trigram_quality/winsorize pattern): the per-word
+    log-ratio is quantized ONCE to micro-units (the ln argument is an
+    identical left-to-right integer-division expression in both
+    engines, so it is bit-identical; a 1-ulp libm ln divergence would
+    have to land within ~1e-10 of a half-micro boundary to matter),
+    and every per-doc weight is then an EXACT order-free BIGINT dot
+    product — no float aggregation anywhere.
+
+    Scale shape: token counts are two hash aggregates over one corpus
+    scan; the log-ratio table is vocabulary-sized (Zipf-bounded) and
+    broadcast back onto the per-doc counts — the corpus itself never
+    joins or shuffles by anything but (doc_id, word). In production
+    the vocab is hashed into a fixed bucket table (same plan shape).
+    """
+    _prep(spark)
+    targets = ("src0", "src1", "src2", "src3")
+    docs = _docs(spark, sf_dir)
+    tok = docs.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.regexp_extract_all(
+                F.col("text"), F.lit(_TOKEN_REGEX), F.lit(0)
+            )
+        ).alias("w"),
+    )
+    raw = tok.groupBy("w").agg(F.count(F.lit(1)).alias("n_r"))
+    tgt = (
+        tok.filter(F.col("source").isin(*targets))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n_t"))
+    )
+    consts = tok.agg(
+        F.count(F.lit(1)).alias("n_raw"),
+        F.sum(F.col("source").isin(*targets).cast("long")).alias("n_tgt"),
+        F.countDistinct("w").alias("v"),
+    ).first()  # three bounded scalars
+    n_raw, n_tgt, v = int(consts["n_raw"]), int(consts["n_tgt"]), int(
+        consts["v"]
+    )
+    # identical left-to-right arithmetic in the DuckDB oracle
+    arg = (
+        (F.coalesce(F.col("n_t"), F.lit(0)) + 1)
+        / F.lit(n_tgt + v)
+        * F.lit(n_raw + v)
+        / (F.col("n_r") + 1)
+    )
+    lr = raw.join(tgt, "w", "left").select(
+        "w",
+        F.round(F.log(arg) * 1e6).cast("bigint").alias("lr_micro"),
+    )
+    dw = tok.groupBy("doc_id", "source", "w").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    return (
+        dw.join(F.broadcast(lr), "w")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.sum("c").alias("n_terms"),
+            F.sum(F.col("c") * F.col("lr_micro")).alias("weight_micro"),
+        )
+        .select(
+            "doc_id",
+            "n_terms",
+            "weight_micro",
+            F.col("source").isin(*targets).alias("is_target"),
+        )
+    )
+
+
 def _q_bpe_vocab(spark, sf_dir):
     """Distributed BPE tokenizer training over the documents corpus
     (operators/bpe.py — Sennrich et al. 2016): ONE corpus scan builds
@@ -6282,6 +6362,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "edit_distance_pairs": _q_edit_distance_pairs,
         "winsorize_values": _q_winsorize_values,
         "event_prefix_groups": _q_event_prefix_groups,
+        "dsir_weights": _q_dsir_weights,
         # -- (2) flagship golden-parity rows-only: the complete E1 and E3
         #        jobs keep their driver rows every round -------------------
         "full_decomposition": _q_full_decomposition,
@@ -6292,11 +6373,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tier_wavelet_parity": _q_tier_wavelet_parity,
         "matrix_profile": _q_matrix_profile,
         "pagerank": _q_pagerank,
-        "bm25_topk": _q_bm25_topk,
         "pq_ann_topk": _q_pq_ann_topk,
         "conversation_forks": _q_conversation_forks,
         "bpe_vocab": _q_bpe_vocab,
         # ---- window boundary: driver checks the 50 entries above ---------
+        "bm25_topk": _q_bm25_topk,
         "pelt_changepoints": _q_pelt_changepoints,
         # -- (4) rows-only (gate-asserted invariant columns; no SQL oracle,
         #        driver records the weaker rows-only check). The displaced
@@ -6420,6 +6501,45 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS turns,
                    round(sum(value), 6) AS total_value
             FROM events GROUP BY 1, 2
+        """,
+        "dsir_weights": """
+            WITH tok AS (
+                SELECT doc_id, source,
+                       unnest(regexp_extract_all(text,
+                           '[a-zA-Z0-9]+|[^a-zA-Z0-9\\s]')) AS w
+                FROM documents
+            ), raw AS (
+                SELECT w, count(*) AS n_r FROM tok GROUP BY w
+            ), tgt AS (
+                SELECT w, count(*) AS n_t FROM tok
+                WHERE source IN ('src0', 'src1', 'src2', 'src3')
+                GROUP BY w
+            ), consts AS (
+                SELECT (SELECT count(*) FROM tok) AS n_raw,
+                       (SELECT count(*) FROM tok
+                        WHERE source IN ('src0','src1','src2','src3'))
+                           AS n_tgt,
+                       (SELECT count(*) FROM raw) AS v
+            ), lr AS (
+                SELECT r.w,
+                       CAST(round(ln(
+                           (COALESCE(t.n_t, 0) + 1)
+                           / (c.n_tgt + c.v)
+                           * (c.n_raw + c.v)
+                           / (r.n_r + 1)
+                       ) * 1000000.0) AS BIGINT) AS lr_micro
+                FROM raw r LEFT JOIN tgt t USING (w)
+                CROSS JOIN consts c
+            ), dw AS (
+                SELECT doc_id, source, w, count(*) AS c
+                FROM tok GROUP BY 1, 2, 3
+            )
+            SELECT doc_id,
+                   CAST(sum(c) AS BIGINT) AS n_terms,
+                   CAST(sum(c * lr_micro) AS BIGINT) AS weight_micro,
+                   source IN ('src0', 'src1', 'src2', 'src3') AS is_target
+            FROM dw JOIN lr USING (w)
+            GROUP BY doc_id, source
         """,
         "event_prefix_groups": """
             WITH r AS (

@@ -282,6 +282,8 @@ def main():
         # distributed BPE training (24 merge rounds on the word table,
         # dual-path + telescoped bookkeeping + encode pass per repeat)
         "bpe_vocab",
+        # DSIR importance weights (oracle-exact integer log-ratio dot)
+        "dsir_weights",
         # robust feature scaling: rank-exact per-group winsorization
         "winsorize_values",
     ]
