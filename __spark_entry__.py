@@ -4249,6 +4249,62 @@ def _q_kmeans_clusters(spark, sf_dir):
     ).orderBy("cell")
 
 
+def _q_drift_psi(spark, sf_dir):
+    """Population Stability Index drift detection per event_type: the
+    value distribution of the FIRST time-half of the stream against the
+    SECOND (banking's standard score for "did this feature's
+    distribution move"; PSI < 0.1 stable, > 0.25 shifted). The
+    monitoring primitive a training-data pipeline runs between corpus
+    snapshots before trusting a refresh.
+
+    ORACLE-CHECKED end-to-end by the integer-sufficient-statistics
+    discipline: the split point is exact integer epoch-micros midpoint
+    (floor division), bin counts are exact ints, each bin's
+    (p - q) * ln(p / q) term — add-1 smoothed so one-sided bins are
+    finite — is quantized ONCE to micro-units from an identical
+    left-to-right expression in both engines, and the per-type PSI is
+    then an exact order-free BIGINT sum. One scan, one (type, bin)
+    hash aggregate, window totals over the tiny bin table."""
+    _prep(spark)
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf_dir).select(
+        "event_type",
+        F.floor(F.col("value") / 10).cast("int").alias("bin"),
+        # parquet ts is TIMESTAMP_NTZ; session is pinned UTC so the
+        # cast is a type relabel, not a wall-clock shift
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("e"),
+    )
+    lo, hi = ev.agg(F.min("e"), F.max("e")).first()
+    mid = (int(lo) + int(hi)) // 2  # exact; DuckDB twin uses // too
+    cnt = ev.groupBy("event_type", "bin").agg(
+        F.sum((F.col("e") <= mid).cast("long")).alias("nb"),
+        F.sum((F.col("e") > mid).cast("long")).alias("na"),
+    )
+    w = Window.partitionBy("event_type")
+    t = cnt.select(
+        "event_type",
+        "nb",
+        "na",
+        F.sum("nb").over(w).alias("tnb"),
+        F.sum("na").over(w).alias("tna"),
+        F.count(F.lit(1)).over(w).alias("b"),
+    )
+    p = (F.col("nb") + 1) / (F.col("tnb") + F.col("b"))
+    q = (F.col("na") + 1) / (F.col("tna") + F.col("b"))
+    term = F.round((p - q) * F.log(p / q) * 1e6).cast("bigint")
+    return (
+        t.select("event_type", "nb", "na", term.alias("term"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_bins"),
+            F.sum("nb").alias("n_before"),
+            F.sum("na").alias("n_after"),
+            F.sum("term").alias("psi_micro"),
+        )
+    )
+
+
 def _q_dsir_weights(spark, sf_dir):
     """DSIR-style importance weights (Xie et al., "Data Selection for
     Language Models via Importance Resampling", NeurIPS 2023 — public
@@ -6363,6 +6419,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winsorize_values": _q_winsorize_values,
         "event_prefix_groups": _q_event_prefix_groups,
         "dsir_weights": _q_dsir_weights,
+        "drift_psi": _q_drift_psi,
         # -- (2) flagship golden-parity rows-only: the complete E1 and E3
         #        jobs keep their driver rows every round -------------------
         "full_decomposition": _q_full_decomposition,
@@ -6371,12 +6428,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- (3) seven rows-only window picks: north-star tier parity, the
         #        heaviest kernels, and this session's new operators --------
         "tier_wavelet_parity": _q_tier_wavelet_parity,
-        "matrix_profile": _q_matrix_profile,
         "pagerank": _q_pagerank,
         "pq_ann_topk": _q_pq_ann_topk,
         "conversation_forks": _q_conversation_forks,
         "bpe_vocab": _q_bpe_vocab,
         # ---- window boundary: driver checks the 50 entries above ---------
+        "matrix_profile": _q_matrix_profile,
         "bm25_topk": _q_bm25_topk,
         "pelt_changepoints": _q_pelt_changepoints,
         # -- (4) rows-only (gate-asserted invariant columns; no SQL oracle,
@@ -6501,6 +6558,43 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS turns,
                    round(sum(value), 6) AS total_value
             FROM events GROUP BY 1, 2
+        """,
+        "drift_psi": """
+            WITH ev AS (
+                SELECT event_type,
+                       CAST(floor(value / 10) AS INT) AS bin,
+                       epoch_us(ts) AS e
+                FROM events
+            ), m AS (
+                SELECT (min(e) + max(e)) // 2 AS mid FROM ev
+            ), cnt AS (
+                SELECT event_type, bin,
+                       sum(CASE WHEN e <= m.mid THEN 1 ELSE 0 END) AS nb,
+                       sum(CASE WHEN e > m.mid THEN 1 ELSE 0 END) AS na
+                FROM ev CROSS JOIN m
+                GROUP BY event_type, bin
+            ), t AS (
+                SELECT event_type, nb, na,
+                       sum(nb) OVER (PARTITION BY event_type) AS tnb,
+                       sum(na) OVER (PARTITION BY event_type) AS tna,
+                       count(*) OVER (PARTITION BY event_type) AS b
+                FROM cnt
+            ), terms AS (
+                SELECT event_type, nb, na,
+                       CAST(round(
+                           ((nb + 1) / (tnb + b) - (na + 1) / (tna + b))
+                           * ln(((nb + 1) / (tnb + b))
+                                / ((na + 1) / (tna + b)))
+                           * 1000000.0
+                       ) AS BIGINT) AS term
+                FROM t
+            )
+            SELECT event_type,
+                   CAST(count(*) AS BIGINT) AS n_bins,
+                   CAST(sum(nb) AS BIGINT) AS n_before,
+                   CAST(sum(na) AS BIGINT) AS n_after,
+                   CAST(sum(term) AS BIGINT) AS psi_micro
+            FROM terms GROUP BY event_type
         """,
         "dsir_weights": """
             WITH tok AS (

@@ -284,6 +284,8 @@ def main():
         "bpe_vocab",
         # DSIR importance weights (oracle-exact integer log-ratio dot)
         "dsir_weights",
+        # PSI snapshot-drift monitor (oracle-exact integer micro terms)
+        "drift_psi",
         # robust feature scaling: rank-exact per-group winsorization
         "winsorize_values",
     ]
