@@ -47,15 +47,26 @@ def char_trigrams(
     rows. Output: ``(id_col, tri)``, one row per occurrence.
     """
     norm = normalized(F.col(text_col))
-    # NB: Spark's sequence(1, stop) DESCENDS when stop < 1 (sequence(1,0)
-    # is [1, 0], not empty) — short docs need the explicit empty branch
-    tris = F.when(
-        F.length(norm) >= 3,
+    # NB 1: Spark's sequence(1, stop) DESCENDS when stop < 1
+    # (sequence(1,0) is [1, 0], not empty) — short docs need the
+    # explicit empty branch.
+    # NB 2: the single-element-array transform is a LET BINDING:
+    # referencing `norm` (a regexp expression) directly inside the
+    # per-index lambda re-evaluates the regex ONCE PER TRIGRAM —
+    # O(len^2) regex work per document, measured 6x slower at sf0.1;
+    # binding it to the lambda variable `s` evaluates it once per row.
+    tris = F.flatten(
         F.transform(
-            F.sequence(F.lit(1), F.length(norm) - 2),
-            lambda i: F.substring(norm, i, 3),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+            F.array(norm),
+            lambda s: F.when(
+                F.length(s) >= 3,
+                F.transform(
+                    F.sequence(F.lit(1), F.length(s) - 2),
+                    lambda i: F.substring(s, i, 3),
+                ),
+            ).otherwise(F.array().cast("array<string>")),
+        )
+    )
     return docs.select(
         F.col(id_col), F.explode(tris).alias("tri")
     )
