@@ -5302,6 +5302,58 @@ def _q_dwt_energy(spark, sf_dir):
     )
 
 
+def _q_wpt_energy(spark, sf_dir):
+    """Wavelet PACKET energy spectra (kernel/dwt.py wpt_batch — Coifman
+    & Wickerhauser 1992) over dyadic windows of the transcript 1m tier:
+    the FULL binary tree decomposes detail bands too, giving 2^4 = 16
+    uniform-width frequency bands per window where the DWT pyramid's
+    detail bands are octave-wide — the right basis when conversation
+    rhythm lives mid-band. Rows-only; invariants riding every row:
+
+    ``parseval_ok``    the orthonormal tree preserves energy: the sum
+                       of ALL leaf-band energies equals the gap-filled
+                       input tier's total signal energy (zero padding
+                       adds none) to 1e-6 relative — garbage packets
+                       cannot balance it;
+    ``n_bands_ok``     every window emits exactly 16 band rows
+                       (band00..band15, natural order).
+
+    tests/test_dwt.py pins the kernel identities (roundtrip, leaf
+    Parseval, all-low path == DWT approximation, Haar closed form).
+    """
+    _prep(spark)
+    from pyspark.sql import Window
+
+    from wavelet_decomposition_spark.io.transcripts import transcripts_df
+    from wavelet_decomposition_spark.operators import (
+        activity,
+        gapfill,
+        rollup,
+        wavelet_ops,
+    )
+
+    tx = transcripts_df(spark, 100, seed=42)
+    tier = rollup.rollup_once(activity.activity_raw(tx), "1m")
+    filled = gapfill.gapfill_zero(
+        tier, activity.ACTIVITY_COUNT_COLS, step="1 minute"
+    ).cache()
+    spectrum = wavelet_ops.energy_windows(
+        filled, "turns", wavelet="db4", levels=4, window_len=64,
+        transform="wpt",
+    )
+    in_e = filled.agg(F.sum(F.col("turns") * F.col("turns")).alias("_in_e"))
+    w = Window.partitionBy()
+    wwin = Window.partitionBy("conv_id", "window_id")
+    return spectrum.crossJoin(F.broadcast(in_e)).select(
+        "conv_id", "window_id", "wavelet", "level", "coef_type", "energy",
+        (
+            F.abs(F.sum("energy").over(w) - F.col("_in_e"))
+            <= 1e-6 * F.greatest(F.col("_in_e"), F.lit(1.0))
+        ).alias("parseval_ok"),
+        (F.count(F.lit(1)).over(wwin) == 16).alias("n_bands_ok"),
+    )
+
+
 def _q_tier_wavelet_parity(spark, sf_dir):
     """Wavelet coefficient + point parity at EVERY retention tier — the
     north metric's "coefficient/point parity vs reference at every
@@ -6436,6 +6488,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "matrix_profile": _q_matrix_profile,
         "bm25_topk": _q_bm25_topk,
         "pelt_changepoints": _q_pelt_changepoints,
+        "wpt_energy": _q_wpt_energy,
         # -- (4) rows-only (gate-asserted invariant columns; no SQL oracle,
         #        driver records the weaker rows-only check). The displaced
         #        window entries (holt_winters, stream_ohlc_drain,

@@ -286,6 +286,8 @@ def main():
         "dsir_weights",
         # PSI snapshot-drift monitor (oracle-exact integer micro terms)
         "drift_psi",
+        # full wavelet-packet tree energy spectra (16 uniform bands)
+        "wpt_energy",
         # robust feature scaling: rank-exact per-group winsorization
         "winsorize_values",
     ]

@@ -75,3 +75,48 @@ def test_dwt_roundtrip_property(vals):
     x = np.asarray(vals[: len(vals) // 16 * 16], dtype=np.float64)
     d, a = dwt.dwt(x, "haar", levels=2)
     np.testing.assert_allclose(dwt.idwt(d, a, "haar"), x, atol=1e-6)
+
+
+def test_wpt_roundtrip_and_parseval():
+    rng = np.random.default_rng(3)
+    X = rng.normal(size=(5, 64))
+    for wavelet in ("haar", "db4"):
+        bands = dwt.wpt_batch(X, wavelet, levels=3)
+        assert len(bands) == 8 and bands[0].shape == (5, 8)
+        # orthonormal tree: leaf energies sum to the input energy
+        e = sum(np.square(b).sum(axis=1) for b in bands)
+        np.testing.assert_allclose(e, np.square(X).sum(axis=1), rtol=1e-9)
+        np.testing.assert_allclose(
+            dwt.iwpt_batch(bands, wavelet), X, atol=1e-10
+        )
+
+
+def test_wpt_low_path_equals_dwt_approx_and_level1_split():
+    rng = np.random.default_rng(4)
+    X = rng.normal(size=(4, 64))
+    for wavelet in ("haar", "db4"):
+        bands = dwt.wpt_batch(X, wavelet, levels=3)
+        details, approx = dwt.dwt_batch(X, wavelet, 3)
+        # band 0 is the all-low path == the DWT approximation
+        np.testing.assert_allclose(bands[0], approx, atol=1e-12)
+        # band 1 (low,low,high) == level-3 detail of the pyramid
+        np.testing.assert_allclose(bands[1], details[2], atol=1e-12)
+        # level-1: two-band WPT == one DWT split
+        b1 = dwt.wpt_batch(X, wavelet, levels=1)
+        d1, a1 = dwt.dwt_batch(X, wavelet, 1)
+        np.testing.assert_allclose(b1[0], a1, atol=1e-12)
+        np.testing.assert_allclose(b1[1], d1[0], atol=1e-12)
+
+
+def test_wpt_haar_level1_closed_form():
+    x = np.array([[1.0, 3.0, 2.0, 6.0]])
+    lo, hi = dwt.wpt_batch(x, "haar", 1)
+    np.testing.assert_allclose(lo[0], [4.0 / np.sqrt(2), 8.0 / np.sqrt(2)])
+    np.testing.assert_allclose(hi[0], [-2.0 / np.sqrt(2), -4.0 / np.sqrt(2)])
+
+
+def test_iwpt_rejects_non_power_of_two():
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        dwt.iwpt_batch([np.zeros((1, 4))] * 3, "haar")

@@ -81,6 +81,49 @@ def dwt(x: np.ndarray, wavelet: str = "haar", levels: int | None = None):
     return [d[0] for d in details], approx[0]
 
 
+def _analysis_level_batch(A: np.ndarray, h: np.ndarray, g: np.ndarray):
+    """One periodized analysis level over rows of ``A``: returns
+    ``(S, D)`` each shaped ``(B, n/2)``. Periodized conv as `taps`
+    strided slice-axpys over a wrap-padded copy — no (B, n/2, taps)
+    gather temp, no per-window gufunc calls (the gather form dominated
+    the pyramid UDF's profile)."""
+    taps = h.size
+    n = A.shape[1]
+    if n % 2:
+        raise ValueError("signal length must be divisible by 2**levels")
+    if taps > 2:
+        reps = 1 + -(-(taps - 2) // n)
+        Ap = np.concatenate([A] * reps, axis=1)[:, : n + taps - 2]
+    else:
+        Ap = A
+    seg = Ap[:, 0 : n - 1 : 2]
+    D = g[0] * seg
+    S = h[0] * seg
+    for m in range(1, taps):
+        seg = Ap[:, m : m + n - 1 : 2]
+        D += g[m] * seg
+        S += h[m] * seg
+    return S, D
+
+
+def _synthesis_level_batch(
+    S: np.ndarray, D: np.ndarray, h: np.ndarray, g: np.ndarray
+) -> np.ndarray:
+    """One synthesis level (transpose of :func:`_analysis_level_batch`):
+    scatter with one ``bincount`` over flattened (row, position) indices."""
+    nrows = S.shape[0]
+    ncur = 2 * S.shape[1]
+    k = np.arange(S.shape[1])
+    idx = (2 * k[:, None] + np.arange(h.size)[None, :]) % ncur
+    contrib = (
+        h[None, None, :] * S[:, :, None] + g[None, None, :] * D[:, :, None]
+    )
+    flat = (np.arange(nrows)[:, None, None] * ncur + idx[None, :, :]).ravel()
+    return np.bincount(
+        flat, weights=contrib.ravel(), minlength=nrows * ncur
+    ).reshape(nrows, ncur)
+
+
 def dwt_batch(X: np.ndarray, wavelet: str, levels: int):
     """Batched :func:`dwt` over the rows of ``X`` (shape ``(B, N)``) — one
     gather + matmul per level for the whole batch, so a task processing
@@ -89,30 +132,47 @@ def dwt_batch(X: np.ndarray, wavelet: str, levels: int):
     ``(B, N/2^(j+1))`` and ``approx`` ``(B, N/2^levels)``."""
     A = np.ascontiguousarray(X, dtype=np.float64)
     h, g = filters(wavelet)
-    taps = h.size
     details = []
     for _ in range(levels):
-        n = A.shape[1]
-        if n % 2:
-            raise ValueError("signal length must be divisible by 2**levels")
-        # periodized conv as `taps` strided slice-axpys over a wrap-padded
-        # copy — no (B, n/2, taps) gather temp, no per-window gufunc calls
-        # (the gather form dominated the pyramid UDF's profile)
-        if taps > 2:
-            reps = 1 + -(-(taps - 2) // n)
-            Ap = np.concatenate([A] * reps, axis=1)[:, : n + taps - 2]
-        else:
-            Ap = A
-        seg = Ap[:, 0 : n - 1 : 2]
-        D = g[0] * seg
-        S = h[0] * seg
-        for m in range(1, taps):
-            seg = Ap[:, m : m + n - 1 : 2]
-            D += g[m] * seg
-            S += h[m] * seg
+        A, D = _analysis_level_batch(A, h, g)
         details.append(D)
-        A = S
     return details, A
+
+
+def wpt_batch(X: np.ndarray, wavelet: str, levels: int) -> list[np.ndarray]:
+    """Batched wavelet PACKET transform (Coifman & Wickerhauser 1992 —
+    the FULL binary tree: unlike the DWT pyramid, DETAIL bands are
+    decomposed too, giving uniform frequency resolution — the right
+    basis when the interesting structure lives mid-band, e.g. activity
+    rhythms faster than the pyramid's coarse scales). Returns the
+    ``2**levels`` leaf bands in NATURAL (Paley) order — band index bits
+    spell the low(0)/high(1) filter path from the root — each shaped
+    ``(B, N/2**levels)``. Orthonormal: leaf energies sum to the input's
+    (Parseval) at every level of the tree."""
+    bands = [np.ascontiguousarray(X, dtype=np.float64)]
+    h, g = filters(wavelet)
+    for _ in range(levels):
+        nxt = []
+        for A in bands:
+            S, D = _analysis_level_batch(A, h, g)
+            nxt.append(S)
+            nxt.append(D)
+        bands = nxt
+    return bands
+
+
+def iwpt_batch(bands: list[np.ndarray], wavelet: str = "haar") -> np.ndarray:
+    """Inverse of :func:`wpt_batch`: pairwise bottom-up synthesis."""
+    if len(bands) & (len(bands) - 1):
+        raise ValueError("band count must be a power of two")
+    h, g = filters(wavelet)
+    cur = [np.ascontiguousarray(b, dtype=np.float64) for b in bands]
+    while len(cur) > 1:
+        cur = [
+            _synthesis_level_batch(cur[i], cur[i + 1], h, g)
+            for i in range(0, len(cur), 2)
+        ]
+    return cur[0]
 
 
 def idwt(details, approx: np.ndarray, wavelet: str = "haar") -> np.ndarray:
@@ -137,22 +197,10 @@ def idwt_batch(details, approx: np.ndarray, wavelet: str = "haar") -> np.ndarray
     per-window Python, no ``np.add.at`` on strided views."""
     h, g = filters(wavelet)
     A = np.ascontiguousarray(approx, dtype=np.float64)
-    nrows = A.shape[0]
     for d in reversed(details):
-        ncur = 2 * A.shape[1]
-        k = np.arange(A.shape[1])
-        idx = (2 * k[:, None] + np.arange(h.size)[None, :]) % ncur
-        D = np.ascontiguousarray(d, dtype=np.float64)
-        contrib = (
-            h[None, None, :] * A[:, :, None]
-            + g[None, None, :] * D[:, :, None]
+        A = _synthesis_level_batch(
+            A, np.ascontiguousarray(d, dtype=np.float64), h, g
         )
-        flat = (
-            np.arange(nrows)[:, None, None] * ncur + idx[None, :, :]
-        ).ravel()
-        A = np.bincount(
-            flat, weights=contrib.ravel(), minlength=nrows * ncur
-        ).reshape(nrows, ncur)
     return A
 
 

@@ -340,10 +340,17 @@ def energy_windows(
     the in-UDF sum is a single vectorized reduction) without the
     per-coefficient shuffle — at 10^12 turns that shuffle, not the math, is
     the bottleneck. ``sparse_fill_step`` fuses the zero gap-fill exactly as
-    in :func:`dwt_windows`."""
+    in :func:`dwt_windows`.
+
+    ``transform="wpt"`` emits the FULL wavelet-packet tree's ``2**levels``
+    leaf bands (uniform frequency resolution — the right basis when the
+    interesting rhythm lives mid-band, where the pyramid's detail bands
+    are coarsest) as rows ``(level=levels, coef_type='bandNN')`` in
+    natural (Paley) order; the orthonormal Parseval identity holds over
+    the leaf set exactly as over the pyramid's bands."""
     if window_len is None:
         window_len = (2**levels) * 8
-    if transform not in ("dwt", "modwt"):
+    if transform not in ("dwt", "modwt", "wpt"):
         raise ValueError(transform)
     step_us = (
         int(pd.Timedelta(sparse_fill_step).total_seconds() * 1e6)
@@ -365,17 +372,25 @@ def energy_windows(
         M[win_base[codes] + pos // window_len, pos % window_len] = x
         if transform == "dwt":
             details, approx = kdwt.dwt_batch(M, wavelet, levels)
-        else:
+        elif transform == "modwt":
             details, approx = kdwt.modwt_batch(M, wavelet, levels)
+        else:
+            details, approx = None, None
 
         win_code = np.repeat(np.arange(counts.size), nwin)
         win_conv = np.asarray(uniques, dtype=object)[win_code]
         win_id = (np.arange(total_win) - win_base[win_code]).astype(np.int32)
 
-        bands = [
-            *(((j + 1), d, "detail") for j, d in enumerate(details)),
-            (levels, approx, "approx"),
-        ]
+        if transform == "wpt":
+            bands = [
+                (levels, b, f"band{i:02d}")
+                for i, b in enumerate(kdwt.wpt_batch(M, wavelet, levels))
+            ]
+        else:
+            bands = [
+                *(((j + 1), d, "detail") for j, d in enumerate(details)),
+                (levels, approx, "approx"),
+            ]
         n_bands = len(bands)
         energies = np.empty((n_bands, total_win), dtype=np.float64)
         lvls = np.empty(n_bands, dtype=np.int32)
