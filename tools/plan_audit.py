@@ -63,7 +63,7 @@ SIDE_EFFECT = {
 # shuffle. Any BNL on a query NOT in this list is a regression.
 DESIGNED_BNL = {
     "ann_topk", "lsh_ann_topk", "ivf_ann_topk", "epn_thresholds",
-    "dwt_energy", "modwt_energy", "transcript_rollup_1m",
+    "dwt_energy", "modwt_energy", "wpt_energy", "transcript_rollup_1m",
     "stream_dedup_drain",
     # 1-row broadcast fixture-accuracy invariant join (no equi-key exists)
     "lang_id",
