@@ -60,11 +60,13 @@ def encode_blocks(
     with_day = tier_df.select(group_col, ts_col, *value_cols).withColumn(
         block_col, F.to_date(ts_col)
     )
-    # Python-CPU-bound group stage: pin the task count and bucket the
-    # conversations (see wavelet_ops.dwt_windows for the rationale);
-    # explicit pre-UDF projection — Catalyst cannot prune into grouped-map
-    # UDFs
-    p = with_day.sparkSession.sparkContext.defaultParallelism * 2
+    # Python-CPU-bound group stage: size-derived task count and bucketed
+    # conversations (see wavelet_ops.python_stage_partitions for the
+    # rationale and measurements); explicit pre-UDF projection —
+    # Catalyst cannot prune into grouped-map UDFs
+    from .wavelet_ops import python_stage_partitions
+
+    p = python_stage_partitions(with_day)
     n_buckets = p * 4
     bucketed = with_day.withColumn(
         "_bucket", F.pmod(F.hash(group_col), F.lit(n_buckets))

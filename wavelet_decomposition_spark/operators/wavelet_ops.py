@@ -41,6 +41,39 @@ BAND_SCHEMA = (
 )
 
 
+def python_stage_partitions(projected: DataFrame) -> int:
+    """SIZE-DERIVED task count for a Python-CPU-bound bucketed stage
+    (guide §2: make partitioning scale-adaptive — derive from input
+    size — rather than a constant tuned for one deployment).
+
+    Targets ~2 MB of (already projected) input per task at the small
+    end — each applyInPandas task pays a fixed worker/Arrow/scheduling
+    cost that a fleet of 3k-row tasks cannot amortize (measured on the
+    flagship 1m tier: 64 fixed tasks = 1.3 s, 32 = 0.8 s for the
+    identical kernel) — and caps per-task input at ~64 MB once the data
+    is large enough to keep every core busy anyway. The task count
+    never drops below ``defaultParallelism``: Catalyst's size estimate
+    is unreliable below a generated/exploded lineage (a gap-filled grid
+    is far larger than its estimate), and a Python-CPU-heavy kernel
+    must keep every core busy even when its input bytes are few
+    (measured: the db4 VisuShrink kernel serialized onto a handful of
+    tasks regressed 1.9 s -> 5.3 s before this floor). Falls back to
+    ``2 * defaultParallelism`` when Catalyst has no usable estimate.
+    """
+    sc = projected.sparkSession.sparkContext
+    dp = sc.defaultParallelism
+    try:
+        b = int(
+            projected._jdf.queryExecution().optimizedPlan().stats()
+            .sizeInBytes()
+        )
+    except Exception:
+        return dp * 2
+    if b <= 0 or b > (1 << 60):  # Catalyst's "unknown" is ~8 EiB
+        return dp * 2
+    return max(dp, min(b // (2 << 20), max(dp * 4, b // (64 << 20))))
+
+
 def _positions(pdf, codes, counts, starts, ts_col, step_us, window_len):
     """(grid position per row, windows per conversation).
 
@@ -158,20 +191,20 @@ def dwt_window_bands(
             }
         )
 
-    # Bucketed fan-out: B = 8x parallelism buckets, hashed from conv_id, so
-    # each task handles a few buckets' worth of conversations in one UDF
-    # call. AQE's size-based coalescing would otherwise pack the (small by
-    # bytes, heavy by Python CPU) groups into a handful of tasks; the
-    # explicit repartition on the bucket key both pins the task count and
-    # satisfies the groupBy clustering (no extra shuffle). At cluster scale
-    # B grows with defaultParallelism automatically.
-    if n_partitions is None:
-        n_partitions = filled.sparkSession.sparkContext.defaultParallelism * 2
-    n_buckets = n_partitions * 4
+    # Bucketed fan-out, task count derived from the projected input's
+    # size (python_stage_partitions): AQE's byte-based coalescing can't
+    # see Python CPU, and a fixed parallelism multiple overpays per-task
+    # overhead on small tiers. The explicit repartition on the bucket
+    # key both pins the task count and satisfies the groupBy clustering
+    # (no extra shuffle).
     # explicit projection: Catalyst cannot prune columns INTO a grouped-map
     # UDF (the whole row ships through Arrow), so drop everything the
     # pyramid doesn't read before the shuffle
-    bucketed = filled.select(group_col, ts_col, value_col).withColumn(
+    projected = filled.select(group_col, ts_col, value_col)
+    if n_partitions is None:
+        n_partitions = python_stage_partitions(projected)
+    n_buckets = n_partitions * 4
+    bucketed = projected.withColumn(
         "_bucket", F.pmod(F.hash(group_col), F.lit(n_buckets))
     )
     return (
@@ -410,11 +443,13 @@ def energy_windows(
             }
         )
 
+    # same explicit pre-UDF projection and size-derived task count as
+    # dwt_window_bands
+    projected = filled.select(group_col, ts_col, value_col)
     if n_partitions is None:
-        n_partitions = filled.sparkSession.sparkContext.defaultParallelism * 2
+        n_partitions = python_stage_partitions(projected)
     n_buckets = n_partitions * 4
-    # same explicit pre-UDF projection as dwt_window_bands
-    bucketed = filled.select(group_col, ts_col, value_col).withColumn(
+    bucketed = projected.withColumn(
         "_bucket", F.pmod(F.hash(group_col), F.lit(n_buckets))
     )
     return (
@@ -543,10 +578,11 @@ def denoise_windows(
             }
         )
 
+    projected = filled.select(group_col, ts_col, value_col)
     if n_partitions is None:
-        n_partitions = filled.sparkSession.sparkContext.defaultParallelism * 2
+        n_partitions = python_stage_partitions(projected)
     n_buckets = n_partitions * 4
-    bucketed = filled.select(group_col, ts_col, value_col).withColumn(
+    bucketed = projected.withColumn(
         "_bucket", F.pmod(F.hash(group_col), F.lit(n_buckets))
     )
     return (
