@@ -2082,7 +2082,11 @@ def _q_pagerank(spark, sf_dir):
                 tol=0.0,
             )
         )
-        pr = pagerank(edges, damping=0.85, max_iter=12, tol=1e-6).cache()
+        # no .cache(): pagerank's result is a trivial projection over its
+        # internally checkpointed rank frame (recompute is free), and the
+        # checkpoint-backed plan is unique per run so a cache entry here
+        # leaks un-matchable storage every bench repeat
+        pr = pagerank(edges, damping=0.85, max_iter=12, tol=1e-6)
         ps_fit = _star_fit.result()
     mass = pr.agg(
         (F.abs(F.sum("rank") - 1.0) <= 1e-9).alias("mass_ok"),
@@ -5162,7 +5166,13 @@ def _q_pq_ann_topk(spark, sf_dir):
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     books = train_pq_codebooks(emb, m=16, k=64, train_sample=2048, seed=42)
-    codes = pq_encode(emb, books).cache()
+    # localCheckpoint, NOT cache: the codebooks differ per run (collected
+    # training output), so a .cache() here can never be re-matched by a
+    # later run's plan — each bench repeat stacked another orphaned cache
+    # entry (measured: +1 persistent RDD and +1-2 s wall per repeat until
+    # the session died); checkpointed RDDs are reclaimed by the
+    # ContextCleaner when the query's references drop
+    codes = pq_encode(emb, books).localCheckpoint()
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
@@ -5415,6 +5425,9 @@ def _q_tier_wavelet_parity(spark, sf_dir):
     keys = ["conv_id", "window_id", "level", "k", "coef_type"]
     cols = activity.ACTIVITY_COUNT_COLS
     parts = []
+    from pyspark.sql import Window
+
+    w_all = Window.partitionBy()
     for tier, (step, wlen, levels) in cfg.items():
         filled = gapfill.gapfill_zero(tiers[tier], cols, step=step).cache()
         kern = wavelet_ops.dwt_windows(
@@ -5423,20 +5436,33 @@ def _q_tier_wavelet_parity(spark, sf_dir):
         rel = wavelet_ops.haar_dwt_relational(
             filled, "turns", levels=levels, window_len=wlen
         ).withColumnRenamed("coef", "rel_coef")
-        j = kern.join(rel, keys, "left")
-        uncov = rel.join(kern, keys, "left_anti").agg(
-            F.count(F.lit(1)).alias("_uncov")
-        )
+        # ONE full-outer join replaces the old left-join + left-anti pair,
+        # which referenced both pyramid paths twice and recomputed every
+        # Arrow kernel pass and the explode/aggregate twin per reference
+        # (the plan carried 187 exchanges / 41 Python stages across the
+        # three tiers). Rows with a NULL kernel side are exactly the
+        # left-anti rows the coverage check counted; when coverage holds
+        # (it must — coverage_ok gates every row) the joined row set is
+        # identical to the old left join's.
+        j = kern.join(rel, keys, "full_outer")
         parts.append(
             j.groupBy("level", "coef_type")
             .agg(
-                F.count(F.lit(1)).alias("n_coefs"),
+                F.count("coef").alias("n_coefs"),
                 F.max(
-                    F.abs(F.col("coef") - F.coalesce("rel_coef", F.lit(0.0)))
+                    F.when(
+                        F.col("coef").isNotNull(),
+                        F.abs(
+                            F.col("coef")
+                            - F.coalesce("rel_coef", F.lit(0.0))
+                        ),
+                    )
                 ).alias("max_abs_err"),
                 F.max(F.abs("coef")).alias("_max_c"),
+                F.sum(
+                    F.col("coef").isNull().cast("long")
+                ).alias("_uncov_g"),
             )
-            .crossJoin(F.broadcast(uncov))
             .select(
                 F.lit(tier).alias("tier"),
                 "level",
@@ -5447,7 +5473,7 @@ def _q_tier_wavelet_parity(spark, sf_dir):
                     F.col("max_abs_err")
                     <= 1e-9 * F.greatest(F.lit(1.0), F.col("_max_c"))
                 ).alias("parity_ok"),
-                (F.col("_uncov") == 0).alias("coverage_ok"),
+                (F.sum("_uncov_g").over(w_all) == 0).alias("coverage_ok"),
             )
         )
     out = parts[0].unionByName(parts[1]).unionByName(parts[2])

@@ -38,8 +38,29 @@ def electricity_pandas(signals=None, years=None) -> pd.DataFrame:
     return pd.concat(frames, ignore_index=True)
 
 
+_DF_CACHE: dict = {}
+
+
 def electricity_df(spark: SparkSession, signals=None, years=None) -> DataFrame:
-    return spark.createDataFrame(electricity_pandas(signals, years), schema=SCHEMA)
+    """Memoized per (session, signals, years) — the same ingest-memo
+    treatment load_input_series/_GOLDEN_CACHE already get: the workbook
+    is a static read-only reference artifact, and rebuilding the 245k-row
+    pandas frame + LocalRelation cost ~1.5 s of every warm repeat of the
+    eight queries that start from it. A LocalRelation is immutable, so
+    handing the same DataFrame to every caller is safe; keyed by
+    applicationId so a new session never sees a stale relation."""
+    key = (
+        spark.sparkContext.applicationId,
+        tuple(signals) if signals is not None else None,
+        tuple(years) if years is not None else None,
+    )
+    df = _DF_CACHE.get(key)
+    if df is None:
+        df = spark.createDataFrame(
+            electricity_pandas(signals, years), schema=SCHEMA
+        )
+        _DF_CACHE[key] = df
+    return df
 
 
 def write_parquet_fixture(spark: SparkSession, path: str, **kw) -> None:
