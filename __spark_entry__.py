@@ -5807,14 +5807,19 @@ def _q_minhash_pairs(spark, sf_dir):
     from wavelet_decomposition_spark.operators import dedup
 
     docs = _docs(spark, sf_dir)
-    sigs = dedup.minhash_signatures(docs)
+    # signature table materialized once (the production shape — see
+    # ngram_jaccard_pairs_bounded): it feeds the band join AND both
+    # sides of the estimate join, which otherwise re-ran the shingle
+    # explode + 64-min aggregate (the operator's dominant stage) per
+    # reference
+    sigs = dedup.minhash_signatures(docs).localCheckpoint()
     pairs = dedup.minhash_lsh_pairs(sigs)
     est = dedup.minhash_jaccard_estimate(sigs, pairs).filter(
         F.col("jaccard_est") >= 0.5
     )
     sets = dedup.shingled(docs).select(
         "id", F.transform("sh", lambda s: F.xxhash64(s)).alias("hs")
-    )
+    ).localCheckpoint()  # both exact-verification sides
     a = sets.select(F.col("id").alias("id_a"), F.col("hs").alias("hs_a"))
     b = sets.select(F.col("id").alias("id_b"), F.col("hs").alias("hs_b"))
     inter = F.size(F.array_intersect("hs_a", "hs_b"))

@@ -232,7 +232,15 @@ def ngram_jaccard_pairs_bounded(
     the pytest oracle for this operator."""
     if bands is None or rows_per_band is None:
         bands, rows_per_band = _auto_banding(threshold, n_perm)
-    sigs = minhash_signatures(df, text_col, id_col, n, n_perm, seed)
+    # materialize the signature table once (localCheckpoint spills
+    # MEMORY_AND_DISK): the band join and any estimate pass would
+    # otherwise each re-run the shingle explode + 64-min aggregate —
+    # the dominant cost of the whole operator — per reference. This is
+    # the production dedup shape anyway: signatures are written once,
+    # then banded and verified from the stored table.
+    sigs = minhash_signatures(
+        df, text_col, id_col, n, n_perm, seed
+    ).localCheckpoint()
     cand = minhash_lsh_pairs(sigs, bands, rows_per_band)
     # verification sets are HASHED shingles (array<bigint>), not strings:
     # the set rides two exchanges into the verification join, and 8-byte
@@ -245,7 +253,7 @@ def ngram_jaccard_pairs_bounded(
     # equality vs the string-exact oracle is pinned in tests.
     sets = shingled(df, text_col, id_col, n).select(
         "id", F.transform("sh", lambda s: F.xxhash64(s)).alias("sh")
-    )
+    ).localCheckpoint()  # feeds BOTH verification sides — hash once
     a = sets.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
     b = sets.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))

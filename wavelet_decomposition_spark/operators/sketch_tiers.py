@@ -177,11 +177,20 @@ def rank_band_columns(
     values are monotone in rank, so ``lo <= estimate <= hi`` is the sound
     check for 'estimate's rank error <= eps'. Exact ``percentile`` — this is
     the VERIFICATION path only; never run it on the production cascade."""
-    cols: list[Column] = []
+    # ONE percentile buffer for all bands: percentile(value, array(...))
+    # computes every requested rank from a single per-group value buffer,
+    # and the identical aggregate child under each element_at dedupes in
+    # planning — 2*len(probs) independent buffers of the whole group
+    # otherwise (measured 0.85 s -> 0.5 s on the daily verification agg;
+    # values bit-identical, same function)
+    pcts: list[float] = []
     for p in probs:
-        lo = max(0.0, p - eps)
-        hi = min(1.0, p + eps)
+        pcts.append(max(0.0, p - eps))
+        pcts.append(min(1.0, p + eps))
+    arr = F.percentile(value_col, F.array(*[F.lit(x) for x in pcts]))
+    cols: list[Column] = []
+    for i, p in enumerate(probs):
         tag = f"p{int(round(p * 100)):02d}"
-        cols.append(F.percentile(value_col, F.lit(lo)).alias(f"{tag}_lo"))
-        cols.append(F.percentile(value_col, F.lit(hi)).alias(f"{tag}_hi"))
+        cols.append(F.element_at(arr, 2 * i + 1).alias(f"{tag}_lo"))
+        cols.append(F.element_at(arr, 2 * i + 2).alias(f"{tag}_hi"))
     return cols
