@@ -133,6 +133,19 @@ def triangle_stats(
     global_clustering = 3 * triangles / wedges (0.0 on a wedge-free
     graph) — both from exact integers, so the whole row is
     oracle-checkable bit-for-bit.
+
+    DENSE-GRAPH fast path (r6): when the graph is small-and-dense
+    (n_nodes <= 12k and density >= 2%), the wedge stream is the
+    algorithm's worst case — on a complete K_n it enumerates C(n, 3)
+    wedge rows (166M at n=1000; ~1.7e11 at n=10k) — while the whole
+    adjacency matrix fits one executor task. There the count switches
+    to blocked GEMM over a float32 adjacency built by STREAMING the
+    edge batches into one task (never a driver collect):
+    triangles = sum(A@A * A)/6 with every intermediate integer exact
+    (cells <= n < 2^24 in float32; the final float64 block sums stay
+    under 2^53). Sparse graphs keep the wedge join — its sqrt(m)
+    out-degree bound is the right tool exactly when the wedge count is
+    small relative to n^3.
     """
     e = (
         edges.select(
@@ -167,6 +180,61 @@ def triangle_stats(
     ).crossJoin(
         F.broadcast(e.agg(F.count(F.lit(1)).alias("n_edges")))
     )
+    stats = base.collect()[0]
+    n_nodes, n_edges = int(stats["n_nodes"]), int(stats["n_edges"])
+    if n_nodes <= 12_000 and n_edges * 50 >= n_nodes * n_nodes:
+        import numpy as np
+        import pandas as pd
+
+        # dense node index: a bounded collect of <= 12k node ids (the
+        # same class as the centroid/Gram collects elsewhere), so the
+        # executor kernel scatters edges fully vectorized
+        node_arr = np.sort(
+            np.array(
+                [r["node"] for r in deg.select("node").collect()],
+                dtype=np.int64,
+            )
+        )
+        cap = int(node_arr.size)
+
+        def _gemm_stream(batches):
+            A = np.zeros((cap, cap), dtype=np.float32)
+            for pdf in batches:
+                iu = np.searchsorted(node_arr, pdf["u"].to_numpy())
+                iv = np.searchsorted(node_arr, pdf["v"].to_numpy())
+                A[iu, iv] = 1.0
+                A[iv, iu] = 1.0
+            total = 0.0
+            blk = max(1, (64 << 20) // (4 * max(cap, 1)))  # ~64 MB blocks
+            for s in range(0, cap, blk):
+                C = A[s : s + blk] @ A
+                total += float((C * A[s : s + blk]).sum(dtype=np.float64))
+            yield pd.DataFrame(
+                {"n_triangles": [int(round(total / 6.0))]}
+            )
+
+        tri = (
+            e.coalesce(1)
+            .mapInPandas(_gemm_stream, schema="n_triangles bigint")
+        )
+    else:
+        tri = _wedge_triangles(e, deg)
+    return base.crossJoin(F.broadcast(tri)).select(
+        "n_nodes",
+        "n_edges",
+        "n_wedges",
+        "n_triangles",
+        F.when(F.col("n_wedges") == 0, F.lit(0.0))
+        .otherwise(
+            3.0 * F.col("n_triangles") / F.col("n_wedges")
+        )
+        .alias("global_clustering"),
+    )
+
+
+def _wedge_triangles(e: DataFrame, deg: DataFrame) -> DataFrame:
+    """Degree-ordered-orientation wedge count (the sparse-graph path of
+    :func:`triangle_stats`): one row, ``n_triangles``."""
     du = deg.select(F.col("node").alias("u"), F.col("deg").alias("du"))
     dv = deg.select(F.col("node").alias("v"), F.col("deg").alias("dv"))
     lower_first = (F.col("du") < F.col("dv")) | (
@@ -189,23 +257,12 @@ def triangle_stats(
     )
     o2 = o.select(F.col("src"), F.col("dst").alias("dst2"))
     wedges = o.join(o2, "src").where(F.col("dst") < F.col("dst2"))
-    tri = wedges.join(
+    return wedges.join(
         e,
         (F.least("dst", "dst2") == F.col("u"))
         & (F.greatest("dst", "dst2") == F.col("v")),
         "left_semi",
     ).agg(F.count(F.lit(1)).alias("n_triangles"))
-    return base.crossJoin(F.broadcast(tri)).select(
-        "n_nodes",
-        "n_edges",
-        "n_wedges",
-        "n_triangles",
-        F.when(F.col("n_wedges") == 0, F.lit(0.0))
-        .otherwise(
-            3.0 * F.col("n_triangles") / F.col("n_wedges")
-        )
-        .alias("global_clustering"),
-    )
 
 
 def dedup_clusters(
