@@ -4236,8 +4236,18 @@ def _q_kmeans_clusters(spark, sf_dir):
             "vec_id", "embedding"
         )
     ).cache()
-    fit1 = kmeans_fit(emb, k=8, max_iter=4, seed=42)
-    fit2 = kmeans_fit(emb, k=8, max_iter=4, seed=42)
+    # the two fits are independent by construction (the refit-identical
+    # invariant compares them) — run them as concurrent driver threads
+    # (guide §2.6): each fit's Lloyd rounds are scheduling-latency-bound
+    # small jobs, so the wall is max, not sum
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=1) as _pool:
+        _f2 = _pool.submit(
+            lambda: kmeans_fit(emb, k=8, max_iter=4, seed=42)
+        )
+        fit1 = kmeans_fit(emb, k=8, max_iter=4, seed=42)
+        fit2 = _f2.result()
     refit_ok = bool(
         np.array_equal(fit1["centroids"], fit2["centroids"])
         and fit1["inertia_micro"] == fit2["inertia_micro"]
@@ -4668,8 +4678,16 @@ def _q_pca_embeddings(spark, sf_dir):
             "vec_id", "embedding"
         )
     ).cache()
-    fit = pca_fit(emb, n_components=16)
-    refit = pca_fit(emb.repartition(13), n_components=16)
+    # independent fits (the refit invariant compares them) — overlap
+    # them on driver threads, guide §2.6
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=1) as _pool:
+        _rf = _pool.submit(
+            lambda: pca_fit(emb.repartition(13), n_components=16)
+        )
+        fit = pca_fit(emb, n_components=16)
+        refit = _rf.result()
     refit_ok = bool(
         np.array_equal(fit["eigenvalues"], refit["eigenvalues"])
         and np.array_equal(fit["components"], refit["components"])

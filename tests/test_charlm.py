@@ -125,3 +125,29 @@ def test_profile_is_broadcast_join(spark):
     plan = trigram_quality(df)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "NestedLoop" not in plan
+
+
+def test_trigram_let_binding_pins_single_regex_eval(spark):
+    """r6 (VERDICT #5): interpreted higher-order functions have no
+    common-subexpression elimination, so a lambda body referencing the
+    normalize regex re-evaluates it once per trigram — O(len^2) per doc
+    (the r5 trigram_quality 28s->4.4s fix). The let-binding ships the
+    regex once through a single-element array; this pins that shape:
+    exactly ONE regexp_replace in the optimized plan (the inlined form
+    prints it once per lambda reference site, i.e. >= 2).
+
+    Audit note (r6): charlm.char_trigrams (let-bound here),
+    textclean/dedup word-gram transforms (attribute-only lambda inputs),
+    dedup.simhash token transform, minhash zip_with, invindex block
+    transform, and the dedup aggregate() norms were all swept — every
+    lambda body references only its lambda variables or plain column
+    attributes."""
+    from wavelet_decomposition_spark.operators.charlm import char_trigrams
+
+    docs = spark.createDataFrame(
+        [(1, "hello world")], "doc_id long, text string"
+    )
+    plan = (
+        char_trigrams(docs)._jdf.queryExecution().optimizedPlan().toString()
+    )
+    assert plan.count("regexp_replace") == 1

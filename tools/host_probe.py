@@ -32,15 +32,24 @@ def _work(_i: int) -> float:
 
 
 def main() -> None:
+    # pool sized to the host (r6 advisory fix): a fixed 32-process pool
+    # on a smaller box conflates CPU oversubscription with memory-
+    # bandwidth contention; the emitted record carries the pool size and
+    # core count so cross-host readings stay comparable
+    import os
+
+    pool_n = min(32, os.cpu_count() or 1)
     solo = _work(0)
-    with mp.Pool(32) as p:
-        walls = p.map(_work, range(32))
+    with mp.Pool(pool_n) as p:
+        walls = p.map(_work, range(pool_n))
     med = sorted(walls)[len(walls) // 2]
     print(
         json.dumps(
             {
                 "solo_s": round(solo, 3),
-                "par32_median_s": round(med, 3),
+                "pool_n": pool_n,
+                "cpu_count": os.cpu_count(),
+                "par_median_s": round(med, 3),
                 "bandwidth_contention_x": round(med / solo, 1),
             }
         )

@@ -208,20 +208,22 @@ def fork_metadata(
     )
 
 
-def _apply_forks(pdf: pd.DataFrame, n_convs: int, n_forks: int,
-                 seed: int, mean_turns: int, max_turns: int) -> pd.DataFrame:
+def _apply_forks(pdf: pd.DataFrame, n_convs: int,
+                 parent_of: np.ndarray, depth_of: np.ndarray,
+                 seed: int) -> pd.DataFrame:
     """Overwrite the first ``fork_depth`` turn texts of every fork row
     with the PARENT conversation's texts for those turns — a pure
     per-row recomputation via the content-addressable ``_turn_texts``
     (no join, no cross-conversation communication: the fork planter is
-    as embarrassingly parallel as the base generator)."""
+    as embarrassingly parallel as the base generator). ``parent_of`` /
+    ``depth_of`` are the :func:`fork_metadata` arrays, computed ONCE per
+    task by the caller (r6 advisory fix: the full hash-arithmetic plan
+    was previously rebuilt for every 4096-conversation chunk, forks
+    present or not)."""
     ids = pdf["conv_id"].str[5:].astype(np.int64).to_numpy()
     m = ids >= n_convs
     if not m.any():
         return pdf
-    meta = fork_metadata(n_convs, n_forks, seed, mean_turns, max_turns)
-    parent_of = meta["parent_id"].to_numpy()
-    depth_of = meta["fork_depth"].to_numpy()
     j = ids[m] - n_convs
     tidx = pdf["turn_idx"].to_numpy()[m].astype(np.int64)
     in_prefix = tidx < depth_of[j]
@@ -260,6 +262,10 @@ def forked_transcripts(
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         chunk = 4096
+        # fork plan computed once per task, reused by every chunk
+        meta = fork_metadata(n_convs, n_forks, seed, mean_turns, max_turns)
+        parent_of = meta["parent_id"].to_numpy()
+        depth_of = meta["fork_depth"].to_numpy()
         for pdf in batches:
             conv = pdf["id"].to_numpy(dtype=np.int64)
             for lo in range(0, conv.size, chunk):
@@ -267,9 +273,7 @@ def forked_transcripts(
                     conv[lo:lo + chunk], seed, mean_turns, max_turns,
                     span_seconds,
                 )
-                yield _apply_forks(
-                    out, n_convs, n_forks, seed, mean_turns, max_turns
-                )
+                yield _apply_forks(out, n_convs, parent_of, depth_of, seed)
 
     return (
         spark.range(0, n_convs + n_forks, numPartitions=partitions)

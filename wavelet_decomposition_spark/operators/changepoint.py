@@ -123,6 +123,14 @@ def pelt_changepoints(
 
     def fit(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(order_col)
+        if not pdf[order_col].is_unique:
+            # r6 advisory fix: the documented must-be-unique precondition
+            # now fails loudly — duplicate keys would make sort order
+            # (and hence segmentation) partition-dependent silently
+            raise ValueError(
+                f"pelt_changepoints: duplicate {order_col!r} values in "
+                "group — segmentation would be order-nondeterministic"
+            )
         y = pdf[value_col].to_numpy(dtype=np.float64)
         cps = pelt_segments_np(y, beta)
         bounds = [0] + cps + [len(y)]
