@@ -56,9 +56,12 @@ def electricity_df(spark: SparkSession, signals=None, years=None) -> DataFrame:
     )
     df = _DF_CACHE.get(key)
     if df is None:
+        # localCheckpoint so the rows live on executors once per session:
+        # a plain LocalRelation embeds the 245k rows in the plan and
+        # re-serializes them into every job that scans it
         df = spark.createDataFrame(
             electricity_pandas(signals, years), schema=SCHEMA
-        )
+        ).localCheckpoint()
         _DF_CACHE[key] = df
     return df
 

@@ -111,20 +111,49 @@ def trigram_quality(
     aggregate; the left join back to ``docs`` keeps empty docs.
     """
     if profile is None:
-        profile = trigram_profile(docs, text_col, id_col)
-    occ = char_trigrams(docs, text_col, id_col)
-    scored = (
-        occ.join(F.broadcast(profile), "tri", "left")
-        .withColumn("df", F.coalesce(F.col("df"), F.lit(0)))
-        .groupBy(id_col)
-        .agg(
-            F.count(F.lit(1)).alias("n_tri"),
-            F.sum(
-                F.when(F.col("df") <= rare_max, 1).otherwise(0)
-            ).alias("n_rare"),
-            F.sum("df").alias("df_mass"),
+        # self-scoring mode: ONE trigram explode pass feeds both the
+        # profile and the per-doc statistics. The (doc, tri) count
+        # table is the natural shared intermediate — the profile is its
+        # tri-marginal (sum of counts = occurrence counts, exactly what
+        # trigram_profile computes) and every per-doc statistic is a
+        # count-weighted sum over it. Exact integers throughout, so the
+        # output is bit-identical to the two-pass form at half the
+        # explode/aggregate work (the explode is the query's dominant
+        # stage: all trigram occurrences of the corpus).
+        occ_pc = (
+            char_trigrams(docs, text_col, id_col)
+            .groupBy(id_col, "tri")
+            .agg(F.count(F.lit(1)).alias("_c"))
+            .localCheckpoint(eager=False)
         )
-    )
+        profile = occ_pc.groupBy("tri").agg(F.sum("_c").alias("df"))
+        scored = (
+            occ_pc.join(F.broadcast(profile), "tri", "left")
+            .withColumn("df", F.coalesce(F.col("df"), F.lit(0)))
+            .groupBy(id_col)
+            .agg(
+                F.sum("_c").alias("n_tri"),
+                F.sum(
+                    F.when(F.col("df") <= rare_max, F.col("_c"))
+                    .otherwise(F.lit(0))
+                ).alias("n_rare"),
+                F.sum(F.col("df") * F.col("_c")).alias("df_mass"),
+            )
+        )
+    else:
+        occ = char_trigrams(docs, text_col, id_col)
+        scored = (
+            occ.join(F.broadcast(profile), "tri", "left")
+            .withColumn("df", F.coalesce(F.col("df"), F.lit(0)))
+            .groupBy(id_col)
+            .agg(
+                F.count(F.lit(1)).alias("n_tri"),
+                F.sum(
+                    F.when(F.col("df") <= rare_max, 1).otherwise(0)
+                ).alias("n_rare"),
+                F.sum("df").alias("df_mass"),
+            )
+        )
     return (
         docs.select(id_col)
         .join(scored, id_col, "left")
