@@ -2071,23 +2071,42 @@ def _q_pagerank(spark, sf_dir):
     # latency-bound (one small Spark job per power iteration), so run
     # them as concurrent driver threads and the wall is max, not sum
     # (optimization-guide §2.6 overlapping of independent jobs)
-    with ThreadPoolExecutor(max_workers=1) as _pool:
-        _star_fit = _pool.submit(
-            lambda: pagerank(
-                spark.range(2, 12).select(
-                    F.col("id").alias("src"), F.lit(1).alias("dst")
-                ),
-                damping=0.5,
-                max_iter=30,
-                tol=0.0,
+    # SIZE-GATED iteration confs: when the edge list is small enough
+    # that both fits take pagerank's broadcast path anyway (co-supply
+    # graph: n is bounded by the supplier/customer dimensions), AQE's
+    # per-stage re-planning and a 64-way aggregate exchange are pure
+    # round-trip overhead on 11-to-16k-row frames — measured 5.5 s ->
+    # 3.4 s for the two overlapped fits with AQE off / one aggregate
+    # partition. Restored before the returned plan is built, and
+    # skipped outright for large graphs (at sf100 this graph has ~6e8
+    # edges and AQE is doing real work).
+    _small = li.count() <= 20_000_000
+    _old_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    _old_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    if _small:
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        spark.conf.set("spark.sql.shuffle.partitions", "1")
+    try:
+        with ThreadPoolExecutor(max_workers=1) as _pool:
+            _star_fit = _pool.submit(
+                lambda: pagerank(
+                    spark.range(2, 12).select(
+                        F.col("id").alias("src"), F.lit(1).alias("dst")
+                    ),
+                    damping=0.5,
+                    max_iter=30,
+                    tol=0.0,
+                )
             )
-        )
-        # no .cache(): pagerank's result is a trivial projection over its
-        # internally checkpointed rank frame (recompute is free), and the
-        # checkpoint-backed plan is unique per run so a cache entry here
-        # leaks un-matchable storage every bench repeat
-        pr = pagerank(edges, damping=0.85, max_iter=12, tol=1e-6)
-        ps_fit = _star_fit.result()
+            # no .cache(): pagerank's result is a trivial projection
+            # over its internally checkpointed rank frame (recompute is
+            # free), and the checkpoint-backed plan is unique per run so
+            # a cache entry here leaks un-matchable storage every repeat
+            pr = pagerank(edges, damping=0.85, max_iter=12, tol=1e-6)
+            ps_fit = _star_fit.result()
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", _old_aqe)
+        spark.conf.set("spark.sql.shuffle.partitions", _old_sp)
     mass = pr.agg(
         (F.abs(F.sum("rank") - 1.0) <= 1e-9).alias("mass_ok"),
         F.sum(F.when(F.col("outdeg") == 0, F.col("rank"))).alias("_dm"),
@@ -4452,22 +4471,37 @@ def _q_bpe_vocab(spark, sf_dir):
     )
 
     docs = _docs(spark, sf_dir)
-    fit = bpe_train(docs, n_merges=24, min_freq=2, verify=True)
-    # dual-path gate reads the trainer's own checkpointed word table
-    # (same rows word_counts(docs) would produce — it IS that aggregate,
-    # materialized once) instead of paying a second corpus scan
-    wc = {
-        r["word"]: r["count"] for r in fit["word_counts_df"].collect()
-    }
-    ref = bpe_train_reference(wc, 24, 2)
-    dual_ok = fit["merges"] == ref
-    enc = bpe_encode(docs, fit["merges"]).agg(
-        F.sum(
-            (F.col("n_tokens") > F.col("n_chars")).cast("long")
-        ).alias("_n_over"),
-        F.sum("n_tokens").alias("_tok"),
-        F.sum("n_chars").alias("_chr"),
-    ).first()
+    # size-gated iteration confs (same rationale as _q_pagerank): the
+    # 24 merge rounds are one tiny job each over the Zipf-bounded word
+    # table — AQE re-planning per round is pure round-trip overhead at
+    # gate scale, and real corpora (gate: 10M docs) keep AQE on
+    _small = docs.count() <= 10_000_000
+    _old_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    _old_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    if _small:
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        spark.conf.set("spark.sql.shuffle.partitions", "1")
+    try:
+        fit = bpe_train(docs, n_merges=24, min_freq=2, verify=True)
+        # dual-path gate reads the trainer's own checkpointed word table
+        # (same rows word_counts(docs) would produce — it IS that
+        # aggregate, materialized once) instead of a second corpus scan
+        wc = {
+            r["word"]: r["count"]
+            for r in fit["word_counts_df"].collect()
+        }
+        ref = bpe_train_reference(wc, 24, 2)
+        dual_ok = fit["merges"] == ref
+        enc = bpe_encode(docs, fit["merges"]).agg(
+            F.sum(
+                (F.col("n_tokens") > F.col("n_chars")).cast("long")
+            ).alias("_n_over"),
+            F.sum("n_tokens").alias("_tok"),
+            F.sum("n_chars").alias("_chr"),
+        ).first()
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", _old_aqe)
+        spark.conf.set("spark.sql.shuffle.partitions", _old_sp)
     encode_ok = enc["_n_over"] == 0 and enc["_tok"] < enc["_chr"]
     rows = [
         (i + 1, a, b, a + b, f)
