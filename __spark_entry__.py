@@ -5467,6 +5467,31 @@ def _q_tier_wavelet_parity(spark, sf_dir):
         wavelet_ops,
     )
 
+    # small-data conf window (same rationale as _q_pagerank/_q_bpe_vocab):
+    # this query's input is the FIXED 100-conversation parity fixture —
+    # a ~25-stage verification DAG over <=6k-row tiers where AQE's
+    # stage-by-stage materialization is pure driver round trips
+    # (measured 3.9-4.3 s -> 3.0 s back-to-back). The plan executes
+    # eagerly inside the window via localCheckpoint and the confs are
+    # restored before return; nothing leaves the timed region — query
+    # construction IS timed by the bench harness.
+    _old_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    _old_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.shuffle.partitions", "16")
+    try:
+        out = _tier_wavelet_parity_plan(
+            spark, transcripts_df, activity, gapfill, rollup, wavelet_ops
+        ).localCheckpoint()
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", _old_aqe)
+        spark.conf.set("spark.sql.shuffle.partitions", _old_sp)
+    return out.orderBy("tier", "level", "coef_type")
+
+
+def _tier_wavelet_parity_plan(
+    spark, transcripts_df, activity, gapfill, rollup, wavelet_ops
+):
     tx = transcripts_df(spark, 100, seed=42)
     raw = activity.activity_raw(tx).cache()
     tiers = rollup.build_tiers(raw)
@@ -5548,9 +5573,8 @@ def _q_tier_wavelet_parity(spark, sf_dir):
             "cascade_ok"
         )
     )
-    return out.crossJoin(F.broadcast(casc)).orderBy(
-        "tier", "level", "coef_type"
-    )
+    # ordering applied by the caller after the checkpoint
+    return out.crossJoin(F.broadcast(casc))
 
 
 def _q_matrix_profile(spark, sf_dir):
