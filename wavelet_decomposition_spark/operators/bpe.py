@@ -88,14 +88,23 @@ def word_counts(
     )
 
 
-def _pair_counts(vocab: DataFrame) -> DataFrame:
+def _pair_counts(
+    vocab: DataFrame, pending: tuple[tuple[str, str], ...] = ()
+) -> DataFrame:
     """Weighted adjacent-pair counts over the symbol arrays, leftmost-
     greedy per pair type (non-overlapping — 'aaa' counts (a,a) once),
     so every count equals EXACTLY the number of replacements the merge
     would perform. One Arrow pass over the compact vocab table emitting
     per-batch partial counts, then one hash aggregate — the same
     map-side-combine shape as the merge apply, and Python only ever
-    touches the Zipf-bounded table, never the corpus."""
+    touches the Zipf-bounded table, never the corpus.
+
+    ``pending`` (r6): merges not yet materialized into ``vocab`` are
+    applied in the SAME Arrow pass before counting — one Python stage
+    per training round instead of a chain of per-merge apply stages
+    (each chained eval is its own worker round trip). Bounded by the
+    checkpoint cadence (<= 4 pending merges), so the re-apply work per
+    round stays O(cadence * vocab) at any scale."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -104,6 +113,8 @@ def _pair_counts(vocab: DataFrame) -> DataFrame:
             counts: dict[tuple[str, str], int] = {}
             for sym, c in zip(pdf["symbols"], pdf["count"]):
                 sym = list(sym)
+                for a, b in pending:
+                    sym = _merge_word(sym, a, b, a + b)
                 for p in set(zip(sym, sym[1:])):
                     counts[p] = counts.get(p, 0) + _pairs_nonoverlap(
                         sym, *p
@@ -119,6 +130,31 @@ def _pair_counts(vocab: DataFrame) -> DataFrame:
     )
     return partial.groupBy("left", "right").agg(
         F.sum("pair_count").alias("pair_count")
+    )
+
+
+def _apply_merges(
+    vocab: DataFrame, pending: tuple[tuple[str, str], ...]
+) -> DataFrame:
+    """Materialization pass: apply ``pending`` merges in rank order to
+    every symbol array (one Arrow stage for the whole batch)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            pdf = pdf.copy()
+            out = []
+            for sym in pdf["symbols"]:
+                sym = list(sym)
+                for a, b in pending:
+                    sym = _merge_word(sym, a, b, a + b)
+                out.append(sym)
+            pdf["symbols"] = out
+            yield pdf
+
+    return vocab.mapInPandas(
+        gen, schema="word string, count bigint, symbols array<string>"
     )
 
 
@@ -151,9 +187,13 @@ def bpe_train(
         F.sum(F.size("symbols") * F.col("count")).alias("tot"),
     ).first()
     n_words, total_before = first["nw"], first["tot"]
-    for r in range(n_merges):
+    # pending = merges chosen but not yet materialized into the
+    # checkpointed vocab; they ride into the NEXT round's counting pass
+    # (one fused Arrow stage) and are materialized every 5 rounds
+    pending: list[tuple[str, str]] = []
+    for _r in range(n_merges):
         top = (
-            _pair_counts(vocab)
+            _pair_counts(vocab, tuple(pending))
             .orderBy(
                 F.desc("pair_count"), F.asc("left"), F.asc("right")
             )
@@ -164,25 +204,14 @@ def bpe_train(
             break
         a, b, f = top[0]["left"], top[0]["right"], int(top[0]["pair_count"])
         merges.append((a, b, f))
-
-        def apply_gen(batches: Iterator[pd.DataFrame], a=a, b=b):
-            ab = a + b
-            for pdf in batches:
-                if not len(pdf):
-                    continue
-                pdf = pdf.copy()
-                pdf["symbols"] = [
-                    _merge_word(list(sym), a, b, ab)
-                    for sym in pdf["symbols"]
-                ]
-                yield pdf
-
-        vocab = vocab.mapInPandas(
-            apply_gen,
-            schema="word string, count bigint, symbols array<string>",
-        )
-        if (r + 1) % 5 == 0:
-            vocab = vocab.localCheckpoint(eager=False)
+        pending.append((a, b))
+        if len(pending) >= 5:
+            vocab = _apply_merges(vocab, tuple(pending)).localCheckpoint(
+                eager=False
+            )
+            pending = []
+    if pending:
+        vocab = _apply_merges(vocab, tuple(pending))
     # hand the checkpointed initial word table back to callers (the
     # dual-path gate in the driver query reads it instead of paying a
     # second corpus scan + word aggregate)
