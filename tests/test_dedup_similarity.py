@@ -297,3 +297,26 @@ def test_cosine_allpairs_exact_empty_input(spark):
     out = similarity.cosine_allpairs_exact(emb, threshold=0.5)
     assert out.count() == 0
     assert out.columns == ["id_a", "id_b", "cosine"]
+
+
+def test_spread_non_file_backed_fallback(spark):
+    """Pin the last `.rdd` touch in the repo (r5 VERDICT #7): a NON-file-
+    backed input (zero inputFiles) falls back to the plan's actual
+    partition count — an already-well-partitioned frame is returned
+    untouched, an under-split one is repartitioned to the floor."""
+    target = spark.sparkContext.defaultParallelism * 2
+
+    wide = spark.range(100).repartition(target + 4)
+    assert wide.inputFiles() == []
+    assert dedup._spread(wide) is wide  # respected, no extra shuffle
+
+    narrow = spark.range(100).coalesce(1)
+    assert narrow.inputFiles() == []
+    out = dedup._spread(narrow)
+    assert out is not narrow
+    assert out.rdd.getNumPartitions() == target
+
+    # file-backed single-split fixture still hits the repartition floor
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    assert 0 < len(docs.inputFiles()) < target
+    assert dedup._spread(docs).rdd.getNumPartitions() == target
