@@ -30,33 +30,41 @@ def check_foreign_keys(
     SQL semantics: a NULL FK is unknown, not an orphan).
 
     Scale shape: each check projects the child to its single key column
-    BEFORE the anti-join (the scan reads one column), and the parent
-    side is its deduplicated key only — a dimension's key set is small
-    even when the dimension is wide, so Catalyst broadcasts it and the
-    whole check is one map-side pass per child table. Results union to
-    one row per FK.
+    BEFORE the join (the scan reads one column), and the parent side is
+    its deduplicated key only — a dimension's key set is small even
+    when the dimension is wide, so Catalyst broadcasts it and the whole
+    check is one map-side pass per child table (a fact-scale parent
+    falls back to a shuffled join per AQE — the strategy stays per-FK).
+    All three counts come from ONE left join + aggregate over a single
+    child scan (r6: was a separate anti-join subtree per FK, doubling
+    every child scan): the parent keys are distinct, so the join is
+    row-preserving and "joined parent key IS NULL on a non-null child
+    key" is exactly the anti-join's orphan set. Results union to one
+    row per FK.
     """
     if not fks:
         raise ValueError("no foreign keys given")
     parts = []
     for name, child, child_key, parent, parent_key in fks:
         keys = child.select(F.col(child_key).alias("_k"))
-        pkeys = parent.select(
-            F.col(parent_key).alias("_k")
-        ).distinct()
-        orphans = (
-            keys.where(F.col("_k").isNotNull())
-            .join(pkeys, "_k", "left_anti")
-            .agg(F.count(F.lit(1)).alias("n_orphans"))
+        pkeys = (
+            parent.select(F.col(parent_key).alias("_k"))
+            .distinct()
+            .withColumn("_hit", F.lit(True))
         )
-        counts = keys.agg(
+        counts = keys.join(pkeys, "_k", "left").agg(
             F.count(F.lit(1)).alias("n_child"),
             F.sum(
                 F.when(F.col("_k").isNull(), 1).otherwise(0)
             ).alias("n_null_fk"),
+            F.sum(
+                F.when(
+                    F.col("_k").isNotNull() & F.col("_hit").isNull(), 1
+                ).otherwise(0)
+            ).alias("n_orphans"),
         )
         parts.append(
-            counts.crossJoin(F.broadcast(orphans)).select(
+            counts.select(
                 F.lit(name).alias("fk"),
                 "n_child",
                 "n_null_fk",
