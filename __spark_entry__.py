@@ -1809,8 +1809,15 @@ def _q_forecast_backtest(spark, sf_dir):
     h_test = 24
     idx = base.select("series_id", "bucket_ts", "v", pos.alias("p"))
     n_by = idx.groupBy("series_id").agg(F.max("p").alias("_pmax"))
-    idx = idx.join(F.broadcast(n_by), "series_id").withColumn(
-        "_split", F.col("_pmax") - h_test
+    # materialize the indexed split frame ONCE (r6): it feeds the train
+    # split, the test split, AND the seasonal-naive side — Catalyst
+    # otherwise clones the events-scan + window + broadcast-join subtree
+    # per consumer (24 parquet scans in the before-plan); the frame is
+    # the tiny hourly tier, so the checkpoint is bounded at any sf
+    idx = (
+        idx.join(F.broadcast(n_by), "series_id")
+        .withColumn("_split", F.col("_pmax") - h_test)
+        .localCheckpoint()
     )
     train = idx.where(F.col("p") <= F.col("_split"))
     test = idx.where(F.col("p") > F.col("_split")).select(
@@ -1848,7 +1855,8 @@ def _q_forecast_backtest(spark, sf_dir):
             * F.abs(F.col("forecast") - F.col("actual"))
             / (F.abs("forecast") + F.abs("actual"))
         ).alias("smape_hw"),
-    )
+    ).localCheckpoint()  # per-series scores feed the gate aggregate AND
+    # the returned rows — one run of the HW kernel + join tree, not two
     checks = per.agg(
         F.min(F.col("n_test") == h_test).alias("split_ok"),
         F.max(
@@ -3359,9 +3367,18 @@ def _q_cms_heavy_hitters(spark, sf_dir):
 
     support, width = 0.05, 8192
     ev = _skewed_events(spark, sf_dir)
-    hh = cms_heavy_hitters(
-        ev, "user_id", support=support, depth=4, width=width
-    ).withColumn("user_id", F.col("key").cast("bigint"))
+    # materialize the heavy-hitter table ONCE (r6): it feeds the exact-
+    # count candidate filter, the n_total gate, and the returned join —
+    # Catalyst otherwise re-runs the whole CMS Arrow fold per consumer
+    # (9 Python stages in the before-plan); the table is bounded at
+    # <= 1/support keys, so the checkpoint is tiny at any sf
+    hh = (
+        cms_heavy_hitters(
+            ev, "user_id", support=support, depth=4, width=width
+        )
+        .withColumn("user_id", F.col("key").cast("bigint"))
+        .localCheckpoint()
+    )
     # exact counts for the FOUND keys only — filter-before-shuffle
     exact_cand = (
         ev.join(F.broadcast(hh.select("user_id")), "user_id")
